@@ -1,0 +1,184 @@
+"""Sharded bloom-filter URL-seen set.
+
+Replaces the reference's two seen-sets — Scrapy's request-fingerprint
+dupefilter (default-on; no ``dont_filter`` anywhere in the reference) and
+the app-level ``project_cache`` set (/root/reference/xizang/pipelines/
+bidSaver.py:16,30-35,123-124) — with a structure that works at a
+10^10-URL frontier (SURVEY.md §2.11 C2).
+
+Design
+------
+- Identity: the JVM-side ``xxhash64(url_norm)`` (no Python hashing).
+- Sharding: ``shard_id = pmod(url_hash, n_shards)``. Each shard owns an
+  independent bitset; shards are rows ``(shard_id, bitset binary,
+  n_inserted)`` so the whole seen-set is itself a DataFrame that
+  checkpoints like any other table. At 10^10 URLs / 1% FP the total is
+  ~12 GB of bits — across 4096 shards that is ~3 MB per shard, small
+  enough that one task owns one shard comfortably; executors process
+  shards in parallel and nothing ever concentrates on the driver.
+- Probes: k positions derived from the single 64-bit hash by the
+  Kirsch-Mitzenmacher double-hashing scheme (h_lo + i*h_hi mod m) —
+  standard result: no extra hash functions needed.
+- Test/insert run as a cogrouped ``applyInPandas`` (candidates grouped by
+  shard_id cogrouped with the shard rows): one Arrow batch per shard,
+  numpy bit ops inside — no per-row Python.
+
+False-positive caveat: a bloom FP silently drops a never-seen URL. The
+crawl loop therefore supports three modes (plans/crawl.py): 'exact'
+(anti-join against the seen table — reference-parity default), 'bloom'
+(pure bloom, scale path), and 'hybrid' (bloom prefilter, exact anti-join
+on survivors only — at scale the prefilter removes ~all duplicates so the
+exact join touches a tiny remainder; zero false drops).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tbbid_scrapy_spark import schemas
+
+
+@dataclass(frozen=True)
+class BloomSpec:
+    """Sizing for the sharded bloom filter.
+
+    ``for_capacity`` computes classic optimal sizing: m = -n*ln(p)/ln(2)^2
+    bits, k = (m/n)*ln(2) probes. Tests verify the sizing function at
+    10^10 without allocating it (SURVEY.md §7 risks).
+    """
+
+    n_shards: int
+    bits_per_shard: int  # multiple of 8
+    n_probes: int
+
+    @staticmethod
+    def for_capacity(expected_n: int, fp_rate: float, n_shards: int) -> "BloomSpec":
+        m_total = math.ceil(-expected_n * math.log(fp_rate) / (math.log(2) ** 2))
+        k = max(1, round(m_total / expected_n * math.log(2)))
+        bits = math.ceil(m_total / n_shards)
+        bits += (-bits) % 8  # byte-align
+        return BloomSpec(n_shards=n_shards, bits_per_shard=bits, n_probes=k)
+
+    @property
+    def total_bytes(self) -> int:
+        return self.n_shards * self.bits_per_shard // 8
+
+
+def _positions(hashes: np.ndarray, spec: BloomSpec) -> np.ndarray:
+    """(n, k) probe positions from 64-bit hashes (Kirsch-Mitzenmacher).
+
+    Works on the raw two's-complement int64 from xxhash64; reinterpret as
+    uint64 for modular arithmetic.
+    """
+    h = hashes.astype(np.int64).view(np.uint64)
+    h_lo = h & np.uint64(0xFFFFFFFF)
+    h_hi = (h >> np.uint64(32)) | np.uint64(1)  # odd ⇒ full-period stepping
+    i = np.arange(spec.n_probes, dtype=np.uint64)
+    return (h_lo[:, None] + i[None, :] * h_hi[:, None]) % np.uint64(spec.bits_per_shard)
+
+
+def _test_bits(bitset: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """All-probes-set membership test; pos is (n, k)."""
+    byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+    masks = (1 << (pos & np.uint64(7))).astype(np.uint8)
+    return ((bitset[byte_idx] & masks) == masks).all(axis=1)
+
+
+def _set_bits(bitset: np.ndarray, pos: np.ndarray) -> None:
+    byte_idx = (pos >> np.uint64(3)).astype(np.int64).ravel()
+    masks = (1 << (pos & np.uint64(7))).astype(np.uint8).ravel()
+    np.bitwise_or.at(bitset, byte_idx, masks)
+
+
+def empty_shards(spark: SparkSession, spec: BloomSpec) -> DataFrame:
+    """All-zero shard table. Built distributedly (spark.range) so that a
+    4096-shard × multi-MB filter never materializes on the driver."""
+    zeros = bytes(spec.bits_per_shard // 8)
+    return (
+        spark.range(spec.n_shards)
+        .select(
+            F.col("id").cast("int").alias("shard_id"),
+            F.lit(zeros).alias("bitset"),
+            F.lit(0).cast("long").alias("n_inserted"),
+        )
+    )
+
+
+def with_shard_id(df: DataFrame, spec: BloomSpec, hash_col: str = "url_hash") -> DataFrame:
+    return df.withColumn("shard_id", F.pmod(F.col(hash_col), F.lit(spec.n_shards)).cast("int"))
+
+
+def bloom_test(candidates: DataFrame, shards: DataFrame, spec: BloomSpec,
+               hash_col: str = "url_hash") -> DataFrame:
+    """Candidates + ``maybe_seen`` boolean. One Arrow batch per shard via
+    cogrouped applyInPandas; candidate rows pass through untouched."""
+    from pyspark.sql import types as T
+
+    cand = with_shard_id(candidates, spec, hash_col)
+    # StructType.add mutates in place — build a fresh copy instead
+    out_schema = T.StructType(
+        list(cand.schema.fields) + [T.StructField("maybe_seen", T.BooleanType(), False)]
+    )
+    cols = [f.name for f in cand.schema.fields]
+
+    def per_shard(key, cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return pd.DataFrame(columns=cols + ["maybe_seen"])
+        if shard_pdf.empty:
+            return cand_pdf.assign(maybe_seen=False)
+        bitset = np.frombuffer(shard_pdf["bitset"].iloc[0], dtype=np.uint8)
+        pos = _positions(cand_pdf[hash_col].to_numpy(), spec)
+        return cand_pdf.assign(maybe_seen=_test_bits(bitset, pos))
+
+    return (
+        cand.groupBy("shard_id")
+        .cogroup(shards.groupBy("shard_id"))
+        .applyInPandas(per_shard, schema=out_schema)
+        .drop("shard_id")
+    )
+
+
+def bloom_insert(candidates: DataFrame, shards: DataFrame, spec: BloomSpec,
+                 hash_col: str = "url_hash") -> DataFrame:
+    """New shard table with all candidate hashes inserted. Shards with no
+    candidates pass through unchanged (full outer cogroup)."""
+    cand = with_shard_id(candidates.select(hash_col), spec, hash_col)
+
+    def per_shard(key, cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+        shard_id = int(key[0])
+        if shard_pdf.empty:
+            return pd.DataFrame(
+                {"shard_id": [shard_id], "bitset": [b""], "n_inserted": [0]}
+            ).iloc[0:0]  # shard table must pre-exist; never invent shards
+        bitset = np.frombuffer(shard_pdf["bitset"].iloc[0], dtype=np.uint8).copy()
+        n = int(shard_pdf["n_inserted"].iloc[0])
+        if not cand_pdf.empty:
+            pos = _positions(cand_pdf[hash_col].to_numpy(), spec)
+            _set_bits(bitset, pos)
+            n += len(cand_pdf)
+        return pd.DataFrame(
+            {"shard_id": [shard_id], "bitset": [bitset.tobytes()], "n_inserted": [n]}
+        )
+
+    return (
+        shards.groupBy("shard_id")
+        .cogroup(cand.groupBy("shard_id"))
+        .applyInPandas(
+            lambda key, s_pdf, c_pdf: per_shard(key, c_pdf, s_pdf),
+            schema=schemas.SEEN_SHARDS,
+        )
+    )
+
+
+def bloom_fp_rate(spec: BloomSpec, n_inserted_per_shard: float) -> float:
+    """Theoretical FP rate at the given load — used by tests to assert the
+    measured rate stays within ~2x of theory."""
+    m, k = spec.bits_per_shard, spec.n_probes
+    return (1.0 - math.exp(-k * n_inserted_per_shard / m)) ** k

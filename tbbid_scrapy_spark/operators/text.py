@@ -1,0 +1,137 @@
+"""Text-analysis operators over the ``documents`` table — language ID,
+quality scoring, token counting, document fingerprinting. All pure
+Catalyst expressions (regex / higher-order array functions); zero Python
+in the hot path, so they run at scan speed on 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword seed lists (public common-word lists); the
+# heuristic scores stopword hit-rate per language and argmaxes.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "nicht"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+}
+
+# BPE-ish tokenizer: words, numbers, or single non-space symbols — a
+# deterministic stand-in for subword tokenization with similar count scale.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def tokens(col: Column) -> Column:
+    return F.regexp_extract_all(F.lower(col), F.lit(f"({TOKEN_PATTERN})"), 1)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace-word count + regex token count in one struct."""
+    return F.struct(
+        F.size(F.split(F.trim(col), r"\s+")).alias("words"),
+        F.size(tokens(col)).alias("tokens"),
+    )
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio features (the standard
+    pretraining-corpus quality heuristics)."""
+    n_chars = F.length(col)
+    words = F.split(F.trim(F.lower(col)), r"\s+")
+    n_words = F.size(words)
+    en = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(en, w)))
+    n_punct = n_chars - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / n_words,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "punct_ratio": (n_punct / F.greatest(n_chars, F.lit(1))).cast("double"),
+        "stopword_ratio": (stop_hits / F.greatest(n_words, F.lit(1))).cast("double"),
+        "mean_word_len": mean_word_len.cast("double"),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality score: rewards stopword presence and sane
+    word lengths, penalizes punctuation soup — deterministic and cheap."""
+    f = quality_features(col)
+    word_len_ok = F.when(
+        (f["mean_word_len"] >= 2.0) & (f["mean_word_len"] <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.least(f["stopword_ratio"] * 2.0, F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - F.least(f["punct_ratio"] * 4.0, F.lit(1.0))) * 0.3
+        + word_len_ok * 0.2
+    )
+    return score.cast("double")
+
+
+def lang_scores(col: Column) -> Column:
+    """Map of language → stopword hit count."""
+    words = F.split(F.trim(F.lower(col)), r"\s+")
+    entries = []
+    for lang, sw in STOPWORDS.items():
+        arr = F.array([F.lit(w) for w in sw])
+        entries.append(
+            F.struct(
+                F.lit(lang).alias("lang"),
+                F.size(F.filter(words, lambda w: F.array_contains(arr, w))).alias("hits"),
+            )
+        )
+    return F.array(*entries)
+
+
+def lang_id(col: Column) -> Column:
+    """argmax language by stopword hits; 'und' (undetermined) when no
+    stopword of any list appears. Ties break by language code order for
+    determinism (array_sort on (-hits, lang))."""
+    scored = lang_scores(col)
+    best = F.element_at(
+        F.array_sort(
+            scored,
+            lambda a, b: F.when(a["hits"] > b["hits"], -1)
+            .when(a["hits"] < b["hits"], 1)
+            .otherwise(F.when(a["lang"] < b["lang"], -1).when(a["lang"] > b["lang"], 1).otherwise(0)),
+        ),
+        1,
+    )
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column, n: int = 4) -> Column:
+    """Order-sensitive 64-bit document fingerprint: xxhash64 chain over
+    word 4-gram hashes (a rolling-hash analog, built from sortable
+    array ops — min/max/first of gram hashes folded with length)."""
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + F.lit(1), F.lit(n))), i),
+    )
+    folded = F.aggregate(
+        gram_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.xxhash64(acc, h),
+    )
+    return F.when(k > 0, folded).otherwise(F.xxhash64(F.concat_ws(" ", toks)))
+
+
+def with_text_analysis(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """All analyses in one projection (single scan)."""
+    c = F.col(text_col)
+    feats = quality_features(c)
+    return documents.withColumns(
+        {
+            **feats,
+            "quality": quality_score(c),
+            "lang_pred": lang_id(c),
+            "n_tokens": F.size(tokens(c)),
+            "fingerprint": fingerprint(c),
+        }
+    )

@@ -1,0 +1,56 @@
+"""Sharded bloom seen-set properties (SURVEY.md §7.4): zero false
+negatives, FP rate within bound, 10^10 sizing math without allocation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tbbid_scrapy_spark.operators.bloom import (
+    BloomSpec,
+    bloom_fp_rate,
+    bloom_insert,
+    bloom_test,
+    empty_shards,
+)
+
+
+def _hashes(spark, start, n):
+    return spark.range(start, start + n).select(
+        F.xxhash64(F.concat(F.lit("url:"), F.col("id"))).alias("url_hash")
+    )
+
+
+def test_sizing_function_at_1e10():
+    spec = BloomSpec.for_capacity(expected_n=10_000_000_000, fp_rate=0.01, n_shards=4096)
+    # classic formula: ~9.585 bits/element at 1% → ~12 GB total
+    assert 11 * 2**30 < spec.total_bytes < 13 * 2**30
+    assert spec.n_probes in (6, 7)
+    # per-shard slice stays executor-friendly
+    assert spec.bits_per_shard // 8 < 4 * 2**20
+
+
+def test_no_false_negatives(spark):
+    spec = BloomSpec.for_capacity(expected_n=5000, fp_rate=0.01, n_shards=8)
+    shards = empty_shards(spark, spec)
+    inserted = _hashes(spark, 0, 2000)
+    shards2 = bloom_insert(inserted, shards, spec)
+    tested = bloom_test(inserted, shards2, spec)
+    assert tested.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_fp_rate_within_bound(spark):
+    spec = BloomSpec.for_capacity(expected_n=5000, fp_rate=0.01, n_shards=8)
+    shards = bloom_insert(_hashes(spark, 0, 5000), empty_shards(spark, spec), spec)
+    novel = _hashes(spark, 1_000_000, 20000)
+    fp = bloom_test(novel, shards, spec).filter(F.col("maybe_seen")).count()
+    theory = bloom_fp_rate(spec, 5000 / spec.n_shards)
+    assert fp / 20000 < max(2.5 * theory, 0.03)
+
+
+def test_insert_preserves_untouched_shards(spark):
+    spec = BloomSpec.for_capacity(expected_n=1000, fp_rate=0.01, n_shards=16)
+    shards = empty_shards(spark, spec)
+    one = _hashes(spark, 0, 1)
+    shards2 = bloom_insert(one, shards, spec)
+    assert shards2.count() == 16
+    assert shards2.agg(F.sum("n_inserted")).collect()[0][0] == 1

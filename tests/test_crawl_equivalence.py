@@ -1,0 +1,124 @@
+"""Crawl-ordering / seen-set / span-extraction equality vs the
+reference-skeleton simulator (BASELINE.json metric; SURVEY.md §5c)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tbbid_scrapy_spark.fixtures import sitegen
+from tbbid_scrapy_spark.fixtures.simulator import simulate_crawl
+from tbbid_scrapy_spark.operators.bloom import BloomSpec
+from tbbid_scrapy_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+
+@pytest.fixture(scope="module")
+def sim(site):
+    return simulate_crawl(
+        site,
+        sitegen.default_seeds(),
+        sitegen.default_politeness(),
+        sitegen.default_robots(),
+        max_waves=50,
+    )
+
+
+@pytest.fixture(scope="module")
+def engine_state(spark, site_df, politeness_df, robots_df):
+    eng = CrawlEngine(
+        spark, site_df, sitegen.default_seeds(), politeness_df, robots_df,
+        CrawlConfig(max_waves=50, seen_mode="exact"),
+    )
+    return eng.run()
+
+
+def _engine_order(state):
+    return [
+        (r.wave, r.url_norm)
+        for r in state.fetch_log.orderBy("wave", "fetch_pos").collect()
+    ]
+
+
+def test_crawl_ordering_exact_match(sim, engine_state):
+    assert _engine_order(engine_state) == sim.fetch_log
+
+
+def test_seen_set_exact_match(sim, engine_state):
+    eng_seen = {r.url_norm for r in engine_state.seen.collect()}
+    assert eng_seen == sim.seen
+
+
+def test_span_extraction_byte_equal(sim, engine_state):
+    """Per-row invariant from BASELINE.json input_hint: span sequence
+    equality on (kind, text, media_ref, order) for every fetched page."""
+    rows = engine_state.extracted.orderBy("doc_id", "offset").collect()
+    eng: dict[str, list] = {}
+    for r in rows:
+        eng.setdefault(r.doc_id, []).append((r.kind, r.text, r.media_ref, r.offset))
+    assert set(eng) == set(sim.extracted)
+    for doc_id, spans in sim.extracted.items():
+        assert eng[doc_id] == list(spans), f"span mismatch for {doc_id}"
+
+
+def test_robots_excluded_never_fetched(sim, engine_state):
+    fetched = {u for _, u in _engine_order(engine_state)}
+    assert not any("/admin" in u for u in fetched)
+    assert not any("/admin" in u for u in sim.seen)
+
+
+def test_politeness_budget_respected(engine_state, politeness_df):
+    budgets = {r.host: r.budget_per_wave for r in politeness_df.collect()}
+    per_wave_host = (
+        engine_state.fetch_log.withColumn(
+            "host", F.lower(F.parse_url(F.col("url_norm"), F.lit("HOST")))
+        )
+        .groupBy("wave", "host")
+        .count()
+        .collect()
+    )
+    for r in per_wave_host:
+        assert r["count"] <= budgets.get(r.host, 4), (
+            f"wave {r.wave} host {r.host}: {r['count']} fetches"
+        )
+
+
+def test_bloom_and_hybrid_modes_match_exact(
+    spark, site_df, politeness_df, robots_df, sim
+):
+    """At fixture scale the bloom is oversized ⇒ zero FPs expected, so
+    bloom/hybrid runs must equal the exact run (and the simulator)."""
+    spec = BloomSpec.for_capacity(expected_n=10_000, fp_rate=1e-6, n_shards=8)
+    for mode in ("bloom", "hybrid"):
+        eng = CrawlEngine(
+            spark, site_df, sitegen.default_seeds(), politeness_df, robots_df,
+            CrawlConfig(max_waves=50, seen_mode=mode, bloom_spec=spec),
+        )
+        st = eng.run()
+        assert _engine_order(st) == sim.fetch_log, mode
+        assert {r.url_norm for r in st.seen.collect()} == sim.seen, mode
+
+
+def test_retry_semantics(spark, politeness_df, robots_df):
+    """Pages that 503 once are retried next wave and eventually fetched;
+    attempts counted like RETRY_TIMES (settings.py:77-79)."""
+    site = sitegen.build_site(
+        n_listing_pages=2, projects_per_listing=3, seed=7, fail_every=2
+    )
+    sim = simulate_crawl(
+        site, sitegen.default_seeds(), sitegen.default_politeness(),
+        sitegen.default_robots(), max_waves=60,
+    )
+    from tests.conftest import SITE_SCHEMA
+
+    site_df = spark.createDataFrame(sitegen.site_to_rows(site), SITE_SCHEMA)
+    eng = CrawlEngine(
+        spark, site_df, sitegen.default_seeds(), politeness_df, robots_df,
+        CrawlConfig(max_waves=60),
+    )
+    st = eng.run()
+    assert _engine_order(st) == sim.fetch_log
+    eng_states = {
+        r.url_norm: (r.state, r.attempts) for r in st.frontier.collect()
+    }
+    for u, e in sim.entries.items():
+        assert eng_states[u] == (e.state, e.attempts), u
