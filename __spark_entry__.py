@@ -442,6 +442,32 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthetic binary media column → mapInPandas
+    decode (stubbed deterministic backend) → typed metadata. The synthetic
+    generator is seed-free-deterministic, so the oracle recomputes the
+    header fields arithmetically."""
+    from tbbid_scrapy_spark.operators.multimodal import decode_media, synthetic_media
+
+    media = synthetic_media(spark, 200)
+    return (
+        decode_media(media)
+        .select("media_id", "kind", "width", "height", "duration_ms", "payload_bytes")
+        .orderBy("media_id")
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media feature vectors (rows-only: float arrays)."""
+    from tbbid_scrapy_spark.operators.multimodal import media_features, synthetic_media
+
+    return (
+        media_features(synthetic_media(spark, 100))
+        .select("media_id", "features")
+        .orderBy("media_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -472,6 +498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "media_decode": q_media_decode,
+        "media_features": q_media_features,
     }
 
 
@@ -721,6 +749,19 @@ def oracle_sql() -> dict[str, str]:
                                              CAST(b.embedding AS DOUBLE[])))) >= 0.95
             ORDER BY id_a, id_b
         """,
+        "media_decode": """
+            SELECT CAST(r AS BIGINT) AS media_id,
+                   CASE CAST(r % 3 AS INT) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(64 + (r * 37) % 960 AS INT) AS width,
+                   CAST(64 + (r * 53) % 540 AS INT) AS height,
+                   CAST(CASE WHEN r % 3 = 0 THEN 0
+                        ELSE 1000 + (r * 97) % 60000 END AS INT) AS duration_ms,
+                   32 AS payload_bytes
+            FROM range(200) t(r) ORDER BY media_id
+        """,
+        # media_features: float-array output → rows-only driver check
+        # (unit-norm + determinism pinned in tests/test_streaming_multimodal.py)
         # minhash_lsh / simhash / lang_id: hash-seeded or engine-specific →
         # rows-only driver check; correctness pinned against exact ground
         # truth in tests/test_operators_dedup.py and tests/test_text.py.

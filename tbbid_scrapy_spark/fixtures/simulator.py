@@ -160,6 +160,13 @@ def simulate_crawl(
             extracted[e.url_norm] = list(page.spans)
             links = [(k, t, m, o) for (k, t, m, o) in page.spans if k == "link"]
             if page.page_kind == "listing":
+                # the reference `continue`s on 监理/造价咨询 titles BEFORE
+                # yielding the detail request (bid_info.py:93-94) — filtered
+                # projects are never crawled at all
+                links = [
+                    (k, t, m, o) for (k, t, m, o) in links
+                    if not (t and ("监理" in t or "造价咨询" in t))
+                ]
                 links = list(reversed(links))
             for _, _, media_ref, _ in links:
                 enqueue(media_ref, e.url_norm, e.depth + 1, wave + 1, e.url_norm)

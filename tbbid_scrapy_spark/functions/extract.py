@@ -22,6 +22,17 @@ _QUAL_PATTERN = (
     "(?:" + "|".join(COMPANY_QUALIFICATIONS) + ")施工总承包[一二三四五六七八九十壹贰叁肆伍陆柒捌玖拾特]+级"
 )
 
+# Shared pattern constants (used by the Spark expressions below AND by the
+# pure-Python parity oracle in fixtures/ref_items.py — one source of truth)
+FUNDING_PATTERN = r"(?:资金来源|资金来自)[：:\s]*([^\n，。；]*)"
+FUNDING_PAREN_STRIP = r"（.*?）"
+DURATION_PATTERN = (
+    r"(?:计划)?工期[：:\s]*([\d一二三四五六七八九十百]+[年月天日]{1,2}"
+    r"(?:（[\d一二三四五六七八九十百]+[日历天日]{1,2}）)?)"
+)
+PROFESSION_PATTERN = r"((?:[一二三壹贰叁]级)?建造师)"
+QUALIFICATION_GROUP_PATTERN = "(" + _QUAL_PATTERN + ")"
+
 
 def title_suffix_trim(title: Column) -> Column:
     """Strip a trailing '招标公告' (P3, bid_info.py:101-102 — `title[:-4]`
@@ -50,30 +61,26 @@ def extract_url_from_click(onclick: Column) -> Column:
 def extract_funding_source(text: Column) -> Column:
     """Text after 资金来源/资金来自, full-width parens stripped, trimmed
     (F5, util.py:88-95). Empty string when absent."""
-    raw = F.regexp_extract(text, r"(?:资金来源|资金来自)[：:\s]*([^\n，。；]*)", 1)
-    return F.trim(F.regexp_replace(raw, r"（.*?）", ""))
+    raw = F.regexp_extract(text, FUNDING_PATTERN, 1)
+    return F.trim(F.regexp_replace(raw, FUNDING_PAREN_STRIP, ""))
 
 
 def extract_duration(text: Column) -> Column:
     """工期/计划工期 value with digits/Chinese numerals + unit
     (F6, util.py:97-103)."""
-    pattern = (
-        r"(?:计划)?工期[：:\s]*([\d一二三四五六七八九十百]+[年月天日]{1,2}"
-        r"(?:（[\d一二三四五六七八九十百]+[日历天日]{1,2}）)?)"
-    )
-    return F.regexp_extract(text, pattern, 1)
+    return F.regexp_extract(text, DURATION_PATTERN, 1)
 
 
 def extract_construction_qualification(text: Column) -> Column:
     """All '{category}施工总承包{grade}级' matches as an array
     (F7, util.py:106-112) — `regexp_extract_all`, order-preserving."""
-    return F.regexp_extract_all(text, F.lit("(" + _QUAL_PATTERN + ")"), 1)
+    return F.regexp_extract_all(text, F.lit(QUALIFICATION_GROUP_PATTERN), 1)
 
 
 def extract_profession_and_level(text: Column) -> Column:
     """First '[一二三壹贰叁]级?建造师' match, '' when absent
     (F8, util.py:116-121)."""
-    return F.regexp_extract(text, r"((?:[一二三壹贰叁]级)?建造师)", 1)
+    return F.regexp_extract(text, PROFESSION_PATTERN, 1)
 
 
 def split_colon_field(text: Column, index: int = 1) -> Column:

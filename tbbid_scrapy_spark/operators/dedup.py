@@ -204,12 +204,18 @@ def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return votes.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
+                  n_bands: int = 4) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ k.
 
-    Candidates by 16-bit band equality (pigeonhole: distance ≤ 3 ⇒ at
-    least one of 4 bands equal), verified with bit_count(a XOR b). The
-    band join replaces the quadratic all-pairs scan with 4 bucket joins."""
+    Candidates by band equality (pigeonhole: distance ≤ n_bands-1 ⇒ at
+    least one band equal — pick n_bands > max_hamming for a recall
+    GUARANTEE, fewer bands for cheaper probabilistic recall), verified
+    with bit_count(a XOR b). The band join replaces the quadratic
+    all-pairs scan with n_bands bucket joins."""
+    assert 64 % n_bands == 0, "n_bands must divide 64"
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     sh = simhash(documents)
     bands = sh.select(
         "doc_id",
@@ -219,11 +225,11 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), width * i)
+                        .bitwiseAND(F.lit(mask))
                         .alias("chunk"),
                     )
-                    for i in range(4)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("bc"),

@@ -1,0 +1,169 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed in Arrow-batched ``mapInPandas``
+stages.
+
+The decode kernels themselves are STUBBED (this container ships no
+PIL/ffmpeg/torchaudio — see ``decode_media``'s ``backend`` switch): the
+'fake' backend is a deterministic parser of our own synthetic byte
+format so the Spark-side contract — schema, partitioning, UDF signature,
+Arrow batch shape — is real and fully tested, and swapping in a real
+decoder is a one-function change.
+
+Synthetic byte format (fake backend): 16-byte header
+  magic(4) | width(4, big-endian) | height(4) | duration_ms(4)
+followed by arbitrary payload bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"TBSM"
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    list(MEDIA_SCHEMA.fields)
+    + [
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("payload_bytes", T.IntegerType(), True),
+    ]
+)
+
+
+def fake_media_bytes(media_id: int, kind: str) -> bytes:
+    """Deterministic synthetic media blob (seeded by id)."""
+    w = 64 + (media_id * 37) % 960
+    h = 64 + (media_id * 53) % 540
+    dur = 0 if kind == "image" else 1000 + (media_id * 97) % 60_000
+    payload = bytes((media_id * (i + 7)) % 256 for i in range(32))
+    return MAGIC + struct.pack(">III", w, h, dur) + payload
+
+
+def synthetic_media(spark, n: int = 100) -> DataFrame:
+    """n fake media rows, generated distributedly (spark.range — no
+    driver-side byte buffers) via a vectorized construction UDF."""
+    kinds = ["image", "audio", "video"]
+
+    @F.pandas_udf(T.BinaryType())
+    def gen_bytes(ids: pd.Series, kind: pd.Series) -> pd.Series:
+        return pd.Series(
+            [fake_media_bytes(int(i), k) for i, k in zip(ids, kind)], dtype="object"
+        )
+
+    base = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.concat(F.lit("doc_"), (F.col("id") % 10).cast("string")).alias("doc_id"),
+        F.format_string("https://static.example.org/m/%d", "id").alias("media_ref"),
+        F.element_at(
+            F.array(*[F.lit(k) for k in kinds]), (F.col("id") % 3 + 1).cast("int")
+        ).alias("kind"),
+    )
+    return base.withColumn("content", gen_bytes(F.col("media_id"), F.col("kind"))).withColumn(
+        "mime",
+        F.when(F.col("kind") == "image", "image/x-tbsm")
+        .when(F.col("kind") == "audio", "audio/x-tbsm")
+        .otherwise("video/x-tbsm"),
+    )
+
+
+def decode_media(df: DataFrame, backend: str = "fake") -> DataFrame:
+    """mapInPandas decode stage: binary content → typed metadata columns.
+
+    backend='fake' parses the synthetic header (deterministic, tested);
+    backend='pil'/'ffmpeg' raise NotImplementedError until the libs exist
+    in the runtime — the call-site contract is identical.
+    """
+    if backend != "fake":
+        raise NotImplementedError(
+            f"decode backend '{backend}' needs real media libraries "
+            "(PIL/ffmpeg) not present in this environment; use 'fake'"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for b in pdf["content"]:
+                if b is not None and len(b) >= 16 and bytes(b[:4]) == MAGIC:
+                    w, h, d = struct.unpack(">III", bytes(b[4:16]))
+                    metas.append((w, h, d, len(b) - 16))
+                else:
+                    metas.append((None, None, None, None))
+            m = pd.DataFrame(
+                metas, columns=["width", "height", "duration_ms", "payload_bytes"]
+            )
+            yield pd.concat([pdf.reset_index(drop=True), m], axis=1)
+
+    return df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize plumbing: computes target dims JVM-side (pure expressions);
+    the pixel transform itself is the stubbed decode's job. Output keeps
+    the binary column untouched (fake backend has no pixels to resize)."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return df.withColumns(
+        {
+            "target_width": F.ceil(F.col("width") * scale).cast("int"),
+            "target_height": F.ceil(F.col("height") * scale).cast("int"),
+        }
+    )
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video rows: one output row per sampled
+    timestamp (sequence+explode — the 1:N shape of real frame extraction;
+    the frame decode itself is behind the stubbed backend)."""
+    vids = df.filter(F.col("kind") == "video")
+    return vids.withColumn(
+        "frame_ts_ms",
+        F.explode(F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))),
+    )
+
+
+FEATURE_DIM = 8
+
+
+def media_features(df: DataFrame) -> DataFrame:
+    """Deterministic feature extraction (hash-folded bytes → unit vector):
+    the embedding-shaped output real models would produce, computed in a
+    vectorized pandas UDF with numpy — Arrow in, Arrow out."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def feats(content: pd.Series) -> pd.Series:
+        out = []
+        for b in content:
+            if b is None:
+                out.append(None)
+                continue
+            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            pad = (-len(arr)) % FEATURE_DIM
+            if pad:
+                arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+            v = arr.reshape(-1, FEATURE_DIM).sum(axis=0).astype(np.float64)
+            norm = np.linalg.norm(v)
+            out.append((v / norm if norm else v).astype(np.float32).tolist())
+        return pd.Series(out, dtype="object")
+
+    return df.withColumn("features", feats(F.col("content")))

@@ -348,11 +348,22 @@ class CrawlEngine:
             "parent",
             "parent_pos",
             "parent_depth",
+            "_doc_kind",
             F.col("s.media_ref").alias("child_url"),
+            F.col("s.text").alias("_anchor"),
             F.when(F.col("_doc_kind") == "listing", -F.col("s.offset"))
             .otherwise(F.col("s.offset"))
             .alias("eff_pos"),
-        )
+        ).filter(
+            # listing anti-filter happens BEFORE the detail request is
+            # yielded in the reference (bid_info.py:93-94): filtered
+            # projects are never crawled
+            ~(
+                (F.col("_doc_kind") == "listing")
+                & F.col("_anchor").isNotNull()
+                & (F.col("_anchor").contains("监理") | F.col("_anchor").contains("造价咨询"))
+            )
+        ).drop("_doc_kind", "_anchor")
         children = links.withColumn(
             "url_norm", resolve_and_canonicalize_pd(F.col("child_url"), F.col("parent"))
         ).filter(F.col("url_norm").isNotNull())

@@ -1,0 +1,230 @@
+"""Relational target-table maintenance: set-oriented MERGE upserts with
+the reference's cross-table side effects re-derived relationally
+(SURVEY.md §2.10).
+
+The reference's row-at-a-time pipeline mutates state as items trickle in
+(/root/reference/xizang/pipelines/bidSaver.py): a project advances
+``stage`` 1→2→3 as sections/ranks arrive, sections get winning_* fields
+and a status from the rank state machine (:367-375), children arriving
+before their parent wait in a ``pending_items`` queue (:163-173). Batch
+semantics make all of that order-independent:
+
+- stage   = 1 + (project has sections) + (project has ranks)   — a join-
+            derived column, identical final state for any arrival order
+- status  = rank-based mapping (rank 1 → 'completed'; sections without a
+            rank → 'pending'), W3
+- pending = children whose project is not yet known roll forward to the
+            next wave via left_anti (J3/C6) instead of an in-memory queue
+- sections are auto-created from bid/rank/control-price evidence (the
+  reference auto-creates a missing parent section, bidSaver.py:235-298)
+
+Company/employee/performance/winner sinks (CompanyEmployee.py:28-188,
+winner_bid.py:20-67) including the conditional employee key
+(cert_code, else (name, corp_code)) and the bid_count increment
+(:121-122) are below as well.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tbbid_scrapy_spark.sources.sink import merge_upsert
+
+PROJECT_COLS = [
+    "project_id", "title", "url", "notice_content", "construction_funds",
+    "project_duration", "company_req", "person_req", "session_size", "stage",
+]
+
+SECTION_COLS = [
+    "project_id", "section_id", "bid_size", "lot_ctl_amt", "status",
+    "winning_bidder", "winning_amount",
+]
+
+BID_COLS = ["project_id", "section_id", "bidder_name", "bid_amount"]
+RANK_COLS = ["project_id", "section_id", "bidder_name", "rank", "manager_name", "win_amt"]
+
+
+def empty_tables(spark: SparkSession) -> dict[str, DataFrame]:
+    return {
+        "project": spark.createDataFrame(
+            [], "project_id string, title string, url string, notice_content string,"
+                "construction_funds string, project_duration string, company_req string,"
+                "person_req string, session_size int, stage int"),
+        "bid_section": spark.createDataFrame(
+            [], "project_id string, section_id string, bid_size int, lot_ctl_amt double,"
+                "status string, winning_bidder string, winning_amount double"),
+        "bid": spark.createDataFrame(
+            [], "project_id string, section_id string, bidder_name string, bid_amount double"),
+        "bid_rank": spark.createDataFrame(
+            [], "project_id string, section_id string, bidder_name string, rank int,"
+                "manager_name string, win_amt double"),
+    }
+
+
+def derive_sections(items: dict[str, DataFrame]) -> DataFrame:
+    """Section rows from bid / control-price / rank evidence (auto-create
+    semantics): full-outer combine on (project_id, section_id)."""
+    from_bids = (
+        items["bid"].groupBy("project_id", "section_id")
+        .agg(F.count("*").alias("bid_size"))
+    )
+    from_ctl = items["lot_ctl"].select("project_id", "section_id", "lot_ctl_amt")
+    from_ranks = (
+        items["bid_rank"].filter(F.col("rank") == 1)
+        .select(
+            "project_id", "section_id",
+            F.col("bidder_name").alias("winning_bidder"),
+            F.col("win_amt").alias("winning_amount"),
+        )
+    )
+    sections = (
+        from_bids.join(from_ctl, ["project_id", "section_id"], "full_outer")
+        .join(from_ranks, ["project_id", "section_id"], "full_outer")
+    )
+    # W3 state machine: rank 1 present → completed, else pending (ranks 2/3
+    # would map to second/third; candidates fixtures emit rank 1 like the
+    # reference's hardcoded winner rank, bid_info.py:318)
+    return sections.withColumn(
+        "status",
+        F.when(F.col("winning_bidder").isNotNull(), "completed").otherwise("pending"),
+    )
+
+
+def upsert_wave(
+    current: dict[str, DataFrame],
+    items: dict[str, DataFrame],
+    pending: dict[str, DataFrame] | None = None,
+) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
+    """One wave of relational maintenance.
+
+    Returns (new_tables, new_pending). ``pending`` children (bid /
+    lot_ctl / bid_rank rows whose project was unknown last wave) are
+    retried by unioning into this wave's items before the parent check.
+    """
+    pending = pending or {}
+    merged_items = {}
+    for k in ("bid", "lot_ctl", "bid_rank"):
+        df = items[k]
+        if k in pending:
+            df = df.unionByName(pending[k])
+        merged_items[k] = df
+
+    # 1. projects merge first (parents before children, like the reference
+    #    draining pending_items on project commit, bidSaver.py:129-130)
+    proj_in = items["project"].withColumn("session_size", F.lit(None).cast("int")) \
+        .withColumn("stage", F.lit(None).cast("int"))
+    new_project = merge_upsert(
+        current["project"], proj_in.select(*PROJECT_COLS), ["project_id"],
+        # notice fields may be NULL on re-sight; keep existing when source null
+        on_matched={
+            c: (lambda col: F.coalesce(F.col(f"s.{col}"), F.col(f"t.{col}")))
+            for c in PROJECT_COLS if c != "project_id"
+        },
+    )
+
+    # 2. split children into known-parent vs pending (J3 roll-forward)
+    known = new_project.select("project_id")
+    new_pending: dict[str, DataFrame] = {}
+    ready: dict[str, DataFrame] = {}
+    for k, df in merged_items.items():
+        ready[k] = df.join(known, "project_id", "left_semi")
+        new_pending[k] = df.join(known, "project_id", "left_anti")
+
+    # 3. section auto-create + merge
+    sect_in = derive_sections(ready)
+    new_sections = merge_upsert(
+        current["bid_section"], sect_in.select(*SECTION_COLS),
+        ["project_id", "section_id"],
+        on_matched={
+            c: (lambda col: F.coalesce(F.col(f"s.{col}"), F.col(f"t.{col}")))
+            for c in SECTION_COLS[2:]
+        },
+    )
+
+    # 4. bid + rank merges on their natural keys
+    new_bid = merge_upsert(
+        current["bid"], ready["bid"].select(*BID_COLS),
+        ["project_id", "section_id", "bidder_name"],
+    )
+    new_rank = merge_upsert(
+        current["bid_rank"], ready["bid_rank"].select(*RANK_COLS),
+        ["project_id", "section_id", "rank"],
+    )
+
+    # 5. join-derived project stage + session_size (order-independent
+    #    equivalent of the reference's stage mutations)
+    has_sections = new_sections.groupBy("project_id").agg(
+        F.count("*").alias("session_size")
+    )
+    has_ranks = new_rank.select("project_id").distinct().withColumn("_hr", F.lit(1))
+    new_project = (
+        new_project.drop("session_size", "stage")
+        .join(has_sections, "project_id", "left")
+        .join(has_ranks, "project_id", "left")
+        .withColumn(
+            "stage",
+            F.lit(1)
+            + F.when(F.col("session_size").isNotNull(), 1).otherwise(0)
+            + F.when(F.col("_hr").isNotNull(), 1).otherwise(0),
+        )
+        .drop("_hr")
+        .select(*PROJECT_COLS)
+    )
+
+    return (
+        {
+            "project": new_project,
+            "bid_section": new_sections,
+            "bid": new_bid,
+            "bid_rank": new_rank,
+        },
+        new_pending,
+    )
+
+
+# ---------------------------------------------------------------------------
+# company / employee / performance / winner sinks
+# ---------------------------------------------------------------------------
+
+def upsert_company(current: DataFrame, incoming: DataFrame) -> DataFrame:
+    """corp_code-keyed merge with bid_count accumulation on re-sight
+    (CompanyEmployee.py:105-141; increment :121-122 done set-wise: the
+    incoming side carries this batch's sighting count)."""
+    return merge_upsert(
+        current, incoming, ["corp_code"],
+        on_matched={
+            "bid_count": lambda c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
+            + F.coalesce(F.col(f"s.{c}"), F.lit(0)),
+        },
+    )
+
+
+def employee_merge_key(df: DataFrame) -> DataFrame:
+    """cert_code when present, else name|corp_code — the reference's
+    conditional lookup (CompanyEmployee.py:51-103) as a computed key."""
+    return df.withColumn(
+        "merge_key",
+        F.coalesce(
+            F.when(F.col("cert_code") != "", F.col("cert_code")),
+            F.concat_ws("|", F.col("name"), F.col("corp_code")),
+        ),
+    )
+
+
+def upsert_employee(current: DataFrame, incoming: DataFrame) -> DataFrame:
+    cur = employee_merge_key(current) if "merge_key" not in current.columns else current
+    inc = employee_merge_key(incoming) if "merge_key" not in incoming.columns else incoming
+    return merge_upsert(cur, inc, ["merge_key"])
+
+
+def upsert_person_performance(current: DataFrame, incoming: DataFrame) -> DataFrame:
+    """(name, corp_code, project_name, role) natural key
+    (CompanyEmployee.py:143-188)."""
+    return merge_upsert(current, incoming, ["name", "corp_code", "project_name", "role"])
+
+
+def upsert_winner_bid(current: DataFrame, incoming: DataFrame) -> DataFrame:
+    """(corp_code, project_name) natural key (winner_bid.py:20-67)."""
+    return merge_upsert(current, incoming, ["corp_code", "project_name"])

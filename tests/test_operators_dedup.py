@@ -1,0 +1,141 @@
+"""Dedup + similarity operator quality: approximate methods validated
+against exact ground truth on a corpus with planted near-duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tbbid_scrapy_spark.operators import dedup, similarity
+
+WORDS = (
+    "the quick brown fox jumps over a lazy dog while seventeen engineers "
+    "review spark plans and tune shuffle partitions for the big cluster run"
+).split()
+
+
+def _doc(i: int, mutate: int = 0) -> str:
+    toks = list(WORDS) * 3
+    for m in range(mutate):
+        toks[(i * 7 + m * 13) % len(toks)] = f"tok{i}_{m}"
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    # 10 families: original + near-dup (1 mutation) + far variant (25)
+    for fam in range(10):
+        rows.append((fam * 3 + 0, _doc(fam, 0) + f" family{fam}"))
+        rows.append((fam * 3 + 1, _doc(fam, 1) + f" family{fam}"))
+        rows.append((fam * 3 + 2, _doc(fam, 25) + f" family{fam}"))
+    # exact duplicates
+    rows.append((100, rows[0][1]))
+    rows.append((101, "  " + rows[0][1].upper() + " "))  # normalizes equal
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, corpus):
+    out = dedup.exact_dedup(corpus)
+    groups = {r.keep_doc_id: r.dup_count for r in out.collect()}
+    assert groups[0] == 3  # doc 0 + 100 + 101 normalize identically
+    assert out.count() == corpus.count() - 2
+
+
+def test_ngram_jaccard_finds_planted_pairs(spark, corpus):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(corpus, n=3, threshold=0.7).collect()
+    }
+    for fam in range(10):
+        assert (fam * 3, fam * 3 + 1) in pairs, f"family {fam} near-dup missed"
+    # far variants must NOT pair with originals at 0.7
+    for fam in range(10):
+        assert (fam * 3, fam * 3 + 2) not in pairs
+
+
+def test_minhash_recall_vs_exact(spark, corpus):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(corpus, n=3, threshold=0.8).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            corpus, n=3, num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert exact, "ground truth empty — fixture broken"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall}"
+
+
+def test_minhash_estimate_tracks_exact(spark, corpus):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(corpus, n=3, threshold=0.3).collect()
+    }
+    est = {
+        (r.id_a, r.id_b): r.jaccard_est
+        for r in dedup.minhash_lsh_pairs(
+            corpus, n=3, num_hashes=32, bands=8, threshold=0.3
+        ).collect()
+    }
+    both = set(exact) & set(est)
+    assert both
+    for k in both:
+        assert abs(exact[k] - est[k]) < 0.3, (k, exact[k], est[k])
+
+
+def test_simhash_near_dups(spark, corpus):
+    # 8 bands of 8 bits give a pigeonhole GUARANTEE for distance ≤ 7:
+    # every pair whose TRUE hamming ≤ 7 must appear — verify against the
+    # exhaustively computed distances
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_pairs(corpus, max_hamming=7, n_bands=8).collect()
+    }
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(corpus).collect()}
+    ids = sorted(sigs)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 7
+    }
+    assert expected, "fixture produced no close pairs"
+    assert pairs == expected
+    # and the planted near-dups are overwhelmingly within that bound
+    hits = sum((fam * 3, fam * 3 + 1) in expected for fam in range(10))
+    assert hits >= 8, f"only {hits}/10 planted near-dups within hamming 7"
+    # exact dup must be hamming 0
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(corpus).collect()}
+    assert sh[0] == sh[100]
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.lsh_bucket_topk(emb, queries, k=10, n_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall vs brute force {recall}"  # 16 buckets on 500 vecs
+
+
+def test_pairs_above_exact_vs_lsh(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.pairs_above(emb, threshold=0.9, exact=True).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in similarity.pairs_above(emb, threshold=0.9, n_planes=4).collect()
+    }
+    assert lsh <= exact  # LSH candidates re-scored exactly → no false pairs
