@@ -442,6 +442,99 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_title_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3: the listing anti-keyword filter + suffix trim on titles
+    synthesized over the documents table (bid_info.py:93-102)."""
+    from tbbid_scrapy_spark.functions.extract import title_suffix_trim
+
+    d = _t(spark, sf_dir, "documents")
+    title = F.concat(
+        F.element_at(
+            F.array(F.lit("道路工程"), F.lit("监理服务"), F.lit("管网造价咨询"), F.lit("桥梁工程")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ),
+        F.lit("招标公告"),
+    )
+    with_t = d.select("doc_id", title.alias("title"))
+    kept = with_t.filter(
+        ~F.col("title").contains("监理") & ~F.col("title").contains("造价咨询")
+    )
+    return kept.select(
+        "doc_id", title_suffix_trim(F.col("title")).alias("title")
+    ).orderBy("doc_id")
+
+
+def q_array_distinct_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/T2: higher-order array filter + distinct + canonical sort
+    (qualification keyword filtering, company_emp_info.py:115-121)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    kws = F.array(F.lit("spark"), F.lit("scan"), F.lit("hash"), F.lit("merge"))
+    filtered = F.array_sort(
+        F.array_distinct(
+            F.filter(words, lambda w: F.exists(kws, lambda k: w.contains(k)))
+        )
+    )
+    return d.select("doc_id", F.array_join(filtered, ",").alias("kept")).orderBy("doc_id")
+
+
+def q_province_usci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: USCI → province via literal-map lookup (pipelines.py:20-56),
+    codes synthesized deterministically from customer keys."""
+    from tbbid_scrapy_spark.functions.extract import province_from_usci
+
+    c = _t(spark, sf_dir, "customer")
+    codes = ["11", "31", "44", "54", "99"]  # incl. one unknown → NULL
+    code = F.element_at(
+        F.array(*[F.lit(x) for x in codes]), (F.col("c_custkey") % 5 + 1).cast("int")
+    )
+    usci = F.concat(F.lit("91"), code, F.lpad(F.col("c_custkey").cast("string"), 10, "0"))
+    return (
+        c.select(province_from_usci(usci).alias("province"))
+        .groupBy("province")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("province").asc_nulls_first())
+    )
+
+
+def q_is_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: safe float-castable predicate over mixed strings (util.py:68-73)."""
+    ev = _t(spark, sf_dir, "events")
+    from tbbid_scrapy_spark.functions.extract import is_number
+
+    mixed = F.when(F.col("event_id") % 3 == 0, F.col("value").cast("string")) \
+        .when(F.col("event_id") % 3 == 1, F.concat(F.lit("x"), F.col("event_id").cast("string"))) \
+        .otherwise(F.lit(""))
+    return (
+        ev.select(is_number(mixed).alias("is_num"))
+        .groupBy("is_num")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("is_num")
+    )
+
+
+def q_section_chinese(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2 full semantics incl. the Chinese-numeral branch (needs the
+    numeral pandas UDF — not SQL-expressible, rows-only driver check;
+    exact values pinned in tests/test_functions.py)."""
+    from tbbid_scrapy_spark.functions.chinese import extract_section_number
+
+    d = _t(spark, sf_dir, "documents")
+    title = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("项目("), (F.col("doc_id") % 30).cast("string"), F.lit("标段)")))
+        .when(F.col("doc_id") % 4 == 1, F.lit("总承包十一标段"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("总承包标段"))
+        .otherwise(F.lit("普通标题"))
+    )
+    return (
+        d.select(extract_section_number(title).alias("section_id"))
+        .groupBy("section_id")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("section_id")
+    )
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthetic binary media column → mapInPandas
     decode (stubbed deterministic backend) → typed metadata. The synthetic
@@ -498,6 +591,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "title_filter": q_title_filter,
+        "array_distinct_filter": q_array_distinct_filter,
+        "province_usci": q_province_usci,
+        "is_number": q_is_number,
+        "section_chinese": q_section_chinese,
         "media_decode": q_media_decode,
         "media_features": q_media_features,
     }
@@ -748,6 +846,49 @@ def oracle_sql() -> dict[str, str]:
                      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
                                              CAST(b.embedding AS DOUBLE[])))) >= 0.95
             ORDER BY id_a, id_b
+        """,
+        "title_filter": """
+            SELECT doc_id, title FROM (
+                SELECT doc_id,
+                       CASE WHEN full_title LIKE '%监理%'
+                              OR full_title LIKE '%造价咨询%' THEN NULL
+                            WHEN full_title LIKE '%招标公告'
+                              THEN substr(full_title, 1, length(full_title) - 4)
+                            ELSE full_title END AS title
+                FROM (
+                    SELECT doc_id,
+                           (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '道路工程'
+                                 WHEN 1 THEN '监理服务' WHEN 2 THEN '管网造价咨询'
+                                 ELSE '桥梁工程' END) || '招标公告' AS full_title
+                    FROM documents
+                )
+            ) WHERE title IS NOT NULL ORDER BY doc_id
+        """,
+        "array_distinct_filter": r"""
+            SELECT doc_id,
+                   coalesce(array_to_string(list_sort(list_distinct(list_filter(
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                       w -> w LIKE '%spark%' OR w LIKE '%scan%'
+                            OR w LIKE '%hash%' OR w LIKE '%merge%'
+                   ))), ','), '') AS kept
+            FROM documents ORDER BY doc_id
+        """,
+        "province_usci": """
+            SELECT province, count(*) AS cnt FROM (
+                SELECT CASE CAST(c_custkey % 5 AS INT)
+                    WHEN 0 THEN '北京' WHEN 1 THEN '上海' WHEN 2 THEN '广东'
+                    WHEN 3 THEN '西藏' ELSE NULL END AS province
+                FROM customer
+            ) GROUP BY province ORDER BY province NULLS FIRST
+        """,
+        "is_number": """
+            SELECT is_num, count(*) AS cnt FROM (
+                SELECT (TRY_CAST(CASE CAST(event_id % 3 AS INT)
+                    WHEN 0 THEN CAST(value AS VARCHAR)
+                    WHEN 1 THEN 'x' || CAST(event_id AS VARCHAR)
+                    ELSE '' END AS DOUBLE) IS NOT NULL) AS is_num
+                FROM events
+            ) GROUP BY is_num ORDER BY is_num
         """,
         "media_decode": """
             SELECT CAST(r AS BIGINT) AS media_id,

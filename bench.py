@@ -40,9 +40,13 @@ HEADLINE = [
 ]
 
 # frontier bench sizing: wide site (shallow, politeness lifted) so the
-# measurement is engine throughput, not the simulated 2s/host politeness
-FRONTIER_LISTING_PAGES = 4
-FRONTIER_PROJECTS_PER_LISTING = 400
+# measurement is engine throughput, not the simulated 2s/host politeness.
+# Env-tunable: bench_scaling.py raises the width so compute dominates the
+# fixed per-wave cost when comparing parallelism levels.
+FRONTIER_LISTING_PAGES = int(os.environ.get("SPARK_GRAFT_FRONTIER_LISTINGS", "4"))
+FRONTIER_PROJECTS_PER_LISTING = int(
+    os.environ.get("SPARK_GRAFT_FRONTIER_PROJECTS", "400")
+)
 FRONTIER_BUDGET = 10**6
 
 
@@ -89,6 +93,81 @@ def bench_frontier(spark) -> dict:
     }
 
 
+def bench_wave(spark, n_urls: int = 2_000_000, dup_ratio: float = 0.25) -> dict:
+    """Single-wave frontier throughput: the BASELINE.json metric
+    (URLs scheduled + deduped / sec) on one wide wave — politeness
+    selection, canonicalization (Arrow UDF), xxhash64, robots, in-batch
+    dedup, bloom test + insert, packed enqueue keys. A wave this wide is
+    compute-dominated (the multi-wave loop at sandbox scale is fixed-cost
+    dominated; at 10^10 scale real waves are this wide or wider)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from tbbid_scrapy_spark.operators.bloom import BloomSpec, bloom_insert, bloom_test, empty_shards
+    from tbbid_scrapy_spark.operators.frontier import apply_robots_joined
+    from pyspark.sql import Window
+
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    distinct_n = int(n_urls * (1 - dup_ratio))
+    # duplicates share the full URL: host derives from the page id
+    page = F.pmod(F.col("id"), F.lit(distinct_n))
+    raw = spark.range(0, n_urls, 1, n_parts).select(
+        F.col("id").alias("seq"),
+        F.format_string(
+            "https://Host%d.example.org:443/cat/%d/page?b=2&a=1&_=9999999",
+            F.pmod(page, F.lit(997)),
+            page,
+        ).alias("url"),
+    )
+    spec = BloomSpec.for_capacity(expected_n=max(distinct_n * 2, 10**6),
+                                  fp_rate=0.01, n_shards=256)
+    shards = empty_shards(spark, spec).persist()
+    shards.count()
+    robots = spark.createDataFrame(
+        [(f"host{i}.example.org", "/", True) for i in range(997)]
+        + [(f"host{i}.example.org", "/admin", False) for i in range(997)],
+        "host string, path_prefix string, allow boolean",
+    )
+    raw = raw.persist()
+    raw.count()  # exclude generation from the measurement
+
+    from tbbid_scrapy_spark.functions.urls import canonicalize_url_pd
+
+    t0 = _t.monotonic()
+    cand = (
+        raw.withColumn("url_norm", canonicalize_url_pd(F.col("url")))
+        .withColumn("url_hash", F.xxhash64("url_norm"))
+        .withColumn("host", F.lower(F.parse_url(F.col("url_norm"), F.lit("HOST"))))
+    )
+    cand = apply_robots_joined(cand, robots)
+    payload = [c for c in cand.columns if c not in ("url_hash", "seq")]
+    deduped = (
+        cand.groupBy("url_hash")
+        .agg(F.min(F.struct(F.col("seq"), *[F.col(c) for c in payload])).alias("_f"))
+        .select("url_hash", "_f.*")
+    )
+    verdicts = bloom_test(deduped.select("url_hash"), shards, spec)
+    novel = deduped.join(
+        verdicts.filter(~F.col("maybe_seen")).select("url_hash"),
+        "url_hash", "left_semi",
+    ).persist()
+    new_shards = bloom_insert(novel.select("url_hash"), shards, spec)
+    n_inserted = new_shards.agg(F.sum("n_inserted")).collect()[0][0]
+    n_novel = novel.count()
+    sec = _t.monotonic() - t0
+    raw.unpersist()
+    shards.unpersist()
+    novel.unpersist()
+    return {
+        "urls_in": n_urls,
+        "urls_distinct": int(n_novel),
+        "bloom_inserted": int(n_inserted),
+        "sec": round(sec, 3),
+        "urls_per_sec": round(n_urls / sec, 1),
+    }
+
+
 def main() -> None:
     from tbbid_scrapy_spark.session import get_spark
 
@@ -96,6 +175,18 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", cpus=CPUS, shuffle_partitions=CPUS)
     queries = entrymod.queries()
+
+    # wave bench FIRST: the headline frontier-throughput metric wants a
+    # clean session (persisted blocks from other sections measurably
+    # degrade it — GC + storage-pool pressure)
+    bench_wave(spark, n_urls=100_000)  # warmup codegen + python workers
+    wave = bench_wave(spark, n_urls=int(os.environ.get("SPARK_GRAFT_WAVE_URLS", "2000000")))
+    print(f"# wave: {wave}", file=sys.stderr)
+    spark.catalog.clearCache()
+
+    frontier = bench_frontier(spark)
+    print(f"# frontier: {frontier}", file=sys.stderr)
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -105,9 +196,6 @@ def main() -> None:
         n = df.count()  # materialize fully
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-
-    frontier = bench_frontier(spark)
-    print(f"# frontier: {frontier}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
@@ -121,6 +209,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "frontier": frontier,
+        "wave": wave,
         "cpus": CPUS,
     }
     print(json.dumps(result))

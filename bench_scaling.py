@@ -39,6 +39,37 @@ if mode == "frontier":
     out = bench.bench_frontier(spark)
     out["wall_sec"] = round(time.monotonic() - t0, 3)
     out["work_units"] = out["urls_fetched"]
+elif mode == "frontier_big":
+    # compute-dominated frontier: distributed sitegen, wide waves
+    from tbbid_scrapy_spark.fixtures import sitegen
+    from tbbid_scrapy_spark.fixtures.sitegen_spark import build_site_df
+    from tbbid_scrapy_spark import schemas
+    from tbbid_scrapy_spark.operators.bloom import BloomSpec
+    from tbbid_scrapy_spark.plans.crawl import CrawlConfig, CrawlEngine
+    L = int(os.environ.get("SPARK_GRAFT_FRONTIER_LISTINGS", "3"))
+    P = int(os.environ.get("SPARK_GRAFT_FRONTIER_PROJECTS", "30000"))
+    site_df = build_site_df(spark, L, P, extra_text_spans=10).persist()
+    site_df.count()
+    pol = spark.createDataFrame(
+        sitegen.default_politeness(10**9, 10**9), schemas.POLITENESS)
+    rob = spark.createDataFrame(sitegen.default_robots(), schemas.ROBOTS)
+    spec = BloomSpec.for_capacity(expected_n=50_000_000, fp_rate=0.01, n_shards=256)
+    eng = CrawlEngine(spark, site_df, sitegen.default_seeds(), pol, rob,
+                      CrawlConfig(max_waves=50, seen_mode="hybrid", bloom_spec=spec))
+    t0 = time.monotonic()
+    st = eng.run()
+    sec = time.monotonic() - t0
+    n = sum(m["urls_fetched"] for m in st.metrics)
+    out = {{"wall_sec": round(sec, 3), "work_units": int(n),
+           "waves": int(st.wave), "urls_per_sec": round(n / sec, 1)}}
+elif mode == "wave":
+    import bench
+    n_urls = int(os.environ.get("SPARK_GRAFT_WAVE_URLS", "8000000"))
+    bench.bench_wave(spark, n_urls=200_000)  # warmup (codegen, workers)
+    t0 = time.monotonic()
+    out = bench.bench_wave(spark, n_urls=n_urls)
+    out["wall_sec"] = out["sec"]
+    out["work_units"] = out["urls_in"]
 else:
     import __spark_entry__ as entrymod
     import bench
@@ -69,26 +100,40 @@ def run_level(repo: str, cpus: int, mode: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", nargs=2, type=int, default=[8, 32])
-    ap.add_argument("--mode", default="frontier", choices=["frontier", "queries"])
+    ap.add_argument("--mode", default="frontier",
+                    choices=["frontier", "frontier_big", "wave", "queries"])
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
     repo = os.path.dirname(os.path.abspath(__file__))
 
     lo, hi = args.cpus
-    r_lo = run_level(repo, lo, args.mode)
-    r_hi = run_level(repo, hi, args.mode)
+    # the sandbox box is shared (loadavg shows neighbor activity with no
+    # local processes) → interleave levels and take the BEST run of each,
+    # which filters neighbor noise out of the comparison
+    runs_lo, runs_hi = [], []
+    for _ in range(args.repeats):
+        runs_lo.append(run_level(repo, lo, args.mode))
+        runs_hi.append(run_level(repo, hi, args.mode))
+    r_lo = min(runs_lo, key=lambda r: r["wall_sec"])
+    r_hi = min(runs_hi, key=lambda r: r["wall_sec"])
     speedup = r_lo["wall_sec"] / r_hi["wall_sec"]
     efficiency = speedup / (hi / lo)
     out = {
         "mode": args.mode,
         "levels": {str(lo): r_lo, str(hi): r_hi},
+        "all_wall_secs": {
+            str(lo): [r["wall_sec"] for r in runs_lo],
+            str(hi): [r["wall_sec"] for r in runs_hi],
+        },
         "throughput": {
             str(lo): round(r_lo["work_units"] / r_lo["wall_sec"], 1),
             str(hi): round(r_hi["work_units"] / r_hi["wall_sec"], 1),
         },
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
-        "note": f"local[{lo}] vs local[{hi}] on one box (shared memory "
-                f"bandwidth); N→{hi//lo}N-executor proxy per BASELINE.md",
+        "note": f"local[{lo}] vs local[{hi}] on one box, best of "
+                f"{args.repeats} interleaved runs per level; "
+                f"N→{hi//lo}N-executor proxy per BASELINE.md",
     }
     print(json.dumps(out))
 

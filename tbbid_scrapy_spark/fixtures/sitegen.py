@@ -98,6 +98,7 @@ def build_site(
     seed: int = 42,
     hot_ratio_cold_every: int = 7,  # every k-th project sits on a cold host
     fail_every: int = 0,  # every k-th stage page 503s once before success
+    extra_text_spans: int = 0,  # filler text spans per notice (bench sizing)
 ) -> dict[str, Page]:
     """Build the page graph; keys are canonical URLs (https, sorted query).
 
@@ -146,6 +147,8 @@ def build_site(
             notice = Page(f"https://{host}/notice/{pid}", "notice", host)
             notice.add("title", title)
             notice.add("text", _notice_body(seed, pid_counter))
+            for ex in range(extra_text_spans):
+                notice.add("text", f"补充说明第{ex}段：" + "条款内容 " * 40)
             notice.add("media", None, f"https://static.example.org/img_{pid}.jpg")
             pages[notice.doc_id] = notice
 

@@ -29,18 +29,14 @@ def dedup_exact(candidates: DataFrame, seen: DataFrame,
     matching the reference dupefilter, which fingerprints at enqueue time).
     In-batch ties resolve to the FIRST discovery (min seq), matching the
     single-threaded reference: first enqueue wins."""
-    w_cols = candidates.columns
+    order_col = "seq" if "seq" in candidates.columns else hash_col
+    payload = [c for c in candidates.columns if c not in (hash_col, order_col)]
+    # groupBy+min(struct) instead of a window: map-side partial combine,
+    # no per-group sort — first enqueue (min order_col) wins
     in_batch = (
-        candidates.withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy(hash_col).orderBy(
-                    *([F.col("seq")] if "seq" in w_cols else [F.col(hash_col)])
-                )
-            ),
-        )
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        candidates.groupBy(hash_col)
+        .agg(F.min(F.struct(F.col(order_col), *[F.col(c) for c in payload])).alias("_f"))
+        .select(hash_col, "_f.*")
     )
     return in_batch.join(seen.select(hash_col), on=hash_col, how="left_anti")
 
@@ -81,6 +77,38 @@ def robots_allow_expr(rules: list[tuple[str, str, bool]]) -> "Column":
     )
 
 
+def apply_robots_joined(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Scalable robots enforcement: rules pre-aggregated to ONE row per
+    host (prefixes sorted longest-first), broadcast, equi-joined on host —
+    an O(1) hash probe per row followed by a filter over that host's few
+    prefixes. Longest-prefix-wins; hosts without rules default to allow.
+
+    This is the engine's robots operator. (A literal-map expression
+    variant exists below for tiny inline rule sets, but Spark evaluates
+    map literals by LINEAR scan per lookup — at ~1000 rules that is
+    ~4000 string compares per row; the broadcast join stays O(1).)"""
+    per_host = robots.groupBy("host").agg(
+        F.reverse(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.length("path_prefix").alias("len"),
+                        F.col("path_prefix").alias("prefix"),
+                        F.col("allow").alias("allow"),
+                    )
+                )
+            )
+        ).alias("_rules")
+    )
+    joined = frontier.join(F.broadcast(per_host), "host", "left")
+    path = F.parse_url(F.col("url_norm"), F.lit("PATH"))
+    matched = F.filter(F.col("_rules"), lambda r: path.startswith(r["prefix"]))
+    allow = F.when(
+        F.col("_rules").isNull() | (F.size(matched) == 0), F.lit(True)
+    ).otherwise(F.element_at(matched, 1)["allow"])
+    return joined.filter(allow).drop("_rules")
+
+
 def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Drop URLs whose (host, longest-matching path_prefix) rule is
     disallow. The rules table is tiny (per-host prefixes) → broadcast.
@@ -110,28 +138,64 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
 
 
 def politeness_rank(pending: DataFrame, politeness: DataFrame,
-                    default_budget: int = 4) -> DataFrame:
-    """Select this wave's fetch batch: per-host window rank by
-    (priority desc, discovery wave, seq, url_hash), keep rank ≤ host
-    budget. Budget table is broadcast (one row per host).
+                    default_budget: int = 4, salt_buckets: int = 64) -> DataFrame:
+    """Select this wave's fetch batch: per-host rank by (priority desc,
+    discovery wave, seq, url_hash), keep rank ≤ host budget. Budget table
+    is broadcast (one row per host).
 
     default_budget=4 mirrors CONCURRENT_REQUESTS_PER_DOMAIN
     (/root/reference/xizang/settings.py:29). The deterministic tiebreak
     (wave, seq) reproduces the reference skeleton's FIFO-within-priority
-    order, making crawl ordering reproducible run-to-run — the property
-    the ordering oracle checks."""
-    w = Window.partitionBy("host").orderBy(
-        F.col("priority").desc(), F.col("wave"), F.col("seq"), F.col("url_hash")
+    order — the property the ordering oracle checks.
+
+    SCALE: a naive `row_number() OVER (PARTITION BY host)` serializes the
+    hot host (≥80 % of a skewed frontier) through one task. Instead:
+
+    1. hosts whose pending count ≤ budget skip ranking entirely — every
+       row is selected, no window at all (this is also the lifted-budget
+       throughput-bench path: zero serial stages);
+    2. over-budget hosts first take a LOCAL top-budget per
+       (host, url_hash % salt) bucket — the window's partitioning is
+       satisfied by the preceding hash repartition on the same keys, so
+       no extra shuffle and no bucket exceeds ~1/salt of the host's rows;
+    3. the global per-host rank then runs on ≤ budget × salt survivors
+       per host — bounded regardless of frontier size.
+
+    Exactness: the global top-budget rows per host are each in some salt
+    bucket, where at most budget-1 better rows exist → they survive the
+    local cut; pass-through hosts are unaffected. Selection is therefore
+    identical to the naive window (pinned by the ordering parity tests).
+    """
+    budgets = F.broadcast(politeness.select("host", "budget_per_wave"))
+    with_budget = pending.join(budgets, on="host", how="left").withColumn(
+        "_budget", F.coalesce(F.col("budget_per_wave"), F.lit(default_budget))
+    ).drop("budget_per_wave")
+
+    counts = with_budget.groupBy("host").agg(F.count("*").alias("_pending"))
+    with_counts = with_budget.join(F.broadcast(counts), "host")
+
+    under = with_counts.filter(F.col("_pending") <= F.col("_budget")).drop(
+        "_budget", "_pending"
     )
-    ranked = pending.withColumn("_rank", F.row_number().over(w))
-    budgeted = ranked.join(
-        F.broadcast(politeness.select("host", "budget_per_wave")), on="host", how="left"
-    ).withColumn(
-        "budget_per_wave", F.coalesce(F.col("budget_per_wave"), F.lit(default_budget))
+    over = with_counts.filter(F.col("_pending") > F.col("_budget"))
+
+    order = [F.col("priority").desc(), F.col("wave"), F.col("seq"), F.col("url_hash")]
+    salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets))
+    local_w = Window.partitionBy("host", "_salt").orderBy(*order)
+    local_top = (
+        over.withColumn("_salt", salt)
+        .repartition("host", "_salt")
+        .withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= F.col("_budget"))
+        .drop("_lr")
     )
-    return budgeted.filter(F.col("_rank") <= F.col("budget_per_wave")).drop(
-        "_rank", "budget_per_wave"
+    global_w = Window.partitionBy("host").orderBy(*order)
+    selected_over = (
+        local_top.withColumn("_gr", F.row_number().over(global_w))
+        .filter(F.col("_gr") <= F.col("_budget"))
+        .drop("_gr", "_salt", "_budget", "_pending")
     )
+    return under.unionByName(selected_over)
 
 
 def salted_repartition(df: DataFrame, n_partitions: int, salt_buckets: int = 64,

@@ -80,6 +80,13 @@ class CrawlConfig:
     checkpoint_dir: str | None = None
     salt_buckets: int = 64
     num_partitions: int | None = None
+    # seq_mode 'packed': children enqueue keys are computed per-row as
+    # (wave+1)<<47 | parent_pos<<17 | (eff_pos + 2^16) — order-isomorphic
+    # to the simulator's dense counter (scheduling only ever compares seq,
+    # never assumes density), with zero sort/collect per wave. Bounds:
+    # ≤32766 waves, <2^30 fetches/wave, <2^16 spans/page — beyond them use
+    # 'dense' (two-pass distributed dense index).
+    seq_mode: str = "packed"
 
 
 def _kind_expr(url_norm):
@@ -156,10 +163,6 @@ class CrawlEngine:
         self.seeds = seeds
         self.politeness = politeness
         self.robots = robots
-        # tiny rule table → inline literal expression (zero-shuffle robots)
-        self._robots_rules = [
-            (r["host"], r["path_prefix"], bool(r["allow"])) for r in robots.collect()
-        ]
         self._tables: dict[str, SnapshotTable] = {}
         if self.config.checkpoint_dir:
             for name in ["frontier", "seen", "shards", "fetch_log", "extracted"]:
@@ -296,11 +299,11 @@ class CrawlEngine:
         _tick("dense_index(batch)")
         if n_batch == 0:
             return st, 0
-        # spread the hot host before the fetch/parse stage
-        batch = fops.salted_repartition(
-            batch, cfg.num_partitions or self.spark.sparkContext.defaultParallelism,
-            cfg.salt_buckets,
-        )
+        # NOTE: no extra repartition here — dense_index range-partitioned
+        # the batch by global fetch order, which interleaves hosts evenly,
+        # so the hot host is already spread across all tasks for the
+        # fetch/parse stage (salted_repartition remains available for
+        # host-affine stages like real connection-pooled HTTP fetching).
 
         # fetch = equi-join on canonical URL (site side: doc_id IS canonical)
         site = self.site.select(
@@ -364,6 +367,12 @@ class CrawlEngine:
                 & (F.col("_anchor").contains("监理") | F.col("_anchor").contains("造价咨询"))
             )
         ).drop("_doc_kind", "_anchor")
+        # a hub page can fan out 10^4+ links from ONE row; explode keeps
+        # them in the parent's partition, which would serialize the
+        # canonicalize/dedup pipeline behind one task — spread them first
+        links = links.repartition(
+            cfg.num_partitions or self.spark.sparkContext.defaultParallelism
+        )
         children = links.withColumn(
             "url_norm", resolve_and_canonicalize_pd(F.col("child_url"), F.col("parent"))
         ).filter(F.col("url_norm").isNotNull())
@@ -371,40 +380,73 @@ class CrawlEngine:
             children.withColumn("url_hash", F.xxhash64("url_norm"))
             .withColumn("host", F.lower(F.parse_url(F.col("url_norm"), F.lit("HOST"))))
         )
-        children = children.filter(fops.robots_allow_expr(self._robots_rules))
-        # in-batch first-discovery wins (simulator enqueues in fetch order)
-        wdup = Window.partitionBy("url_hash").orderBy("parent_pos", "eff_pos")
+        children = fops.apply_robots_joined(children, self.robots)
+        # in-batch first-discovery wins (simulator enqueues in fetch
+        # order). min(struct(order..., payload...)) per url_hash instead of
+        # a row_number window: hash aggregation gets map-side partial
+        # combine and scales linearly, where a window must co-locate and
+        # sort every group (measured ANTI-scaling with cores at 4M rows).
+        payload = [c for c in children.columns
+                   if c not in ("url_hash", "parent_pos", "eff_pos")]
+        first = F.min(
+            F.struct(F.col("parent_pos"), F.col("eff_pos"),
+                     *[F.col(c) for c in payload])
+        ).alias("_first")
         children = (
-            children.withColumn("_rn", F.row_number().over(wdup))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            children.groupBy("url_hash").agg(first)
+            .select("url_hash", "_first.*")
         )
         # seen-set dedup (bloom prefilter first in hybrid: at scale it
-        # eliminates ~all dupes so the exact anti-join touches a sliver)
+        # eliminates ~all dupes so the exact anti-join touches a sliver).
+        # Only the 8-byte url_hash goes through the Arrow cogroup — wide
+        # candidate payload must never round-trip through Python (measured
+        # ~8x slowdown when it does); verdicts join back on url_hash,
+        # whose hash-partitioning the preceding dedup already established.
         if cfg.seen_mode == "exact":
             children = children.join(
                 st.seen.select("url_hash"), "url_hash", "left_anti"
             )
         elif cfg.seen_mode == "bloom":
-            tested = bloom_test(children, st.shards, cfg.bloom_spec)
-            children = tested.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            verdicts = bloom_test(
+                children.select("url_hash"), st.shards, cfg.bloom_spec
+            )
+            children = children.join(
+                verdicts.filter(~F.col("maybe_seen")).select("url_hash"),
+                "url_hash", "left_semi",
+            )
         else:  # hybrid
-            tested = bloom_test(children, st.shards, cfg.bloom_spec)
-            maybe = tested.filter(F.col("maybe_seen")).drop("maybe_seen")
-            fresh = tested.filter(~F.col("maybe_seen")).drop("maybe_seen")
-            confirmed = maybe.join(st.seen.select("url_hash"), "url_hash", "left_anti")
-            children = fresh.unionByName(confirmed)
+            verdicts = bloom_test(
+                children.select("url_hash"), st.shards, cfg.bloom_spec
+            )
+            fresh_keys = verdicts.filter(~F.col("maybe_seen")).select("url_hash")
+            maybe_keys = verdicts.filter(F.col("maybe_seen")).select("url_hash")
+            confirmed_keys = maybe_keys.join(
+                st.seen.select("url_hash"), "url_hash", "left_anti"
+            )
+            children = children.join(
+                fresh_keys.unionByName(confirmed_keys), "url_hash", "left_semi"
+            )
 
-        # dense seq over the deduped children — the returned frame is
-        # persisted, so shards/frontier/seen below reuse one materialization
-        children, n_new, h_children = dense_index(
-            children,
-            [F.col("parent_pos"), F.col("eff_pos")],
-            "seq",
-            st.next_seq,
-            cfg.num_partitions,
-        )
-        _tick("dense_index(children)")
+        # enqueue keys over the deduped children; the frame is persisted so
+        # shards/frontier/seen below reuse one materialization
+        if cfg.seq_mode == "packed":
+            children = children.withColumn(
+                "seq",
+                (F.lit(w + 1).cast("long") * F.lit(1 << 47).cast("long"))
+                + (F.col("parent_pos").cast("long") * F.lit(1 << 17).cast("long"))
+                + (F.col("eff_pos").cast("long") + F.lit(1 << 16).cast("long")),
+            ).persist()
+            n_new = children.count()
+            h_children = children
+        else:
+            children, n_new, h_children = dense_index(
+                children,
+                [F.col("parent_pos"), F.col("eff_pos")],
+                "seq",
+                st.next_seq,
+                cfg.num_partitions,
+            )
+        _tick("children seq")
         new_shards = st.shards
         if st.shards is not None:
             new_shards = bloom_insert(
