@@ -147,3 +147,178 @@ def expected_items(extracted: dict[str, list[Span]]) -> dict[str, list[dict]]:
             projects.append({"project_id": pid, "title": title, "url": stage_url, **n})
 
     return {"project": projects, "bid": bids, "lot_ctl": lot_ctl, "bid_rank": ranks}
+
+
+# ---------------------------------------------------------------------------
+# corp/employee/performance chain (company_emp_info.py twin of
+# plans/corp_items.py)
+# ---------------------------------------------------------------------------
+
+QUAL_KEYWORDS = ["工程施工", "工程专业", "承包贰级", "承包壹级"]
+
+
+def _corp_kind(url: str) -> str:
+    path = "/" + url.split("://", 1)[-1].split("/", 1)[1] if "/" in url.split("://", 1)[-1] else "/"
+    for kind, marker in [
+        ("corp_search", "/corp/search"),
+        ("corp_detail", "/corp/detail"),
+        ("emp_list", "/corp/emps"),
+        ("person_perf_list", "/corp/listpersonperformance"),
+        ("perf_detail", "/corp/perfdetail"),
+        ("security_list", "/corp/security"),
+    ]:
+        if path.startswith(marker):
+            return kind
+    return "other"
+
+
+def _qparam(url: str, key: str) -> str | None:
+    from urllib.parse import parse_qs, urlsplit
+
+    vals = parse_qs(urlsplit(url).query).get(key)
+    return vals[0] if vals else None
+
+
+def _labels(cells: list[str], pairs: dict[str, str]) -> dict[str, str | None]:
+    out: dict[str, str | None] = {v: None for v in pairs.values()}
+    for i, c in enumerate(cells[:-1]):
+        if c in pairs:
+            out[pairs[c]] = cells[i + 1]
+    return out
+
+
+def expected_corp_items(extracted: dict[str, list[Span]]) -> dict[str, list[dict]]:
+    searches: dict[str, dict] = {}  # corp_code -> {name}
+    details: dict[str, dict] = {}
+    emp_rows: list[dict] = []
+    births: dict[str, str] = {}
+    perf_stubs: list[dict] = []
+    perf_dets: dict[str, dict] = {}
+    security: list[dict] = []
+
+    for url, spans in extracted.items():
+        kind = _corp_kind(url)
+        ordered = sorted(spans, key=lambda s: s[3])
+        cells = [t for k, t, _, _ in ordered if k == "table_cell"]
+        if kind == "corp_search":
+            if len(cells) >= 4:
+                searches[cells[3]] = {"name": _qparam(url, "name")}
+        elif kind == "corp_detail":
+            code = _qparam(url, "corpcode")
+            d = _labels(cells, {"法人姓名": "corp", "注册资本": "corp_asset",
+                                "经营地址": "reg_address", "报送有效期": "valid_date"})
+            quals = [c[len("资质条目："):] for c in cells if c and c.startswith("资质条目：")]
+            quals = sorted({q for q in quals if any(k in q for k in QUAL_KEYWORDS)})
+            others = next(
+                (c[len("其他："):].strip() for c in cells if c and c.startswith("其他：")),
+                None,
+            )
+            details[code] = {**d, "qualifications": quals, "others": others}
+        elif kind == "emp_list":
+            rows_spans = [
+                s for s in ordered
+                if s[0] == "table_cell"
+                or (s[0] == "link" and "pageIndex=" not in (s[2] or ""))
+            ]
+            code = _qparam(url, "corpcode")
+            for r in range(len(rows_spans) // 7):
+                row = rows_spans[r * 7:(r + 1) * 7]
+                name = row[1][1]
+                if not name or not name.strip():
+                    continue
+                emp_rows.append(
+                    {
+                        "corp_code": code,
+                        "name": name.strip(),
+                        "cert_code": row[2][1],
+                        "role": row[3][1],
+                        "valid_date": row[5][1],
+                        "major": (row[6][1] or "").strip().split("、"),
+                        "person_id": re.search(r"id=([^&#]+)", row[1][2]).group(1),
+                    }
+                )
+        elif kind == "person_perf_list":
+            pid = re.search(r"id=([^&#]+)", url).group(1)
+            if len(ordered) >= 2 and ordered[1][0] == "table_cell":
+                births[pid] = (ordered[1][1] or "").strip()
+            rest = ordered[2:]
+            for r in range(len(rest) // 3):
+                row = rest[r * 3:(r + 1) * 3]
+                if row[2][0] == "link" and row[2][2]:
+                    perf_stubs.append(
+                        {
+                            "person_id": pid,
+                            "data_level": row[0][1],
+                            "perf_id": re.search(r"id=([^&#]+)", row[2][2]).group(1),
+                        }
+                    )
+        elif kind == "perf_detail":
+            pfid = re.search(r"id=([^&#]+)", url).group(1)
+            d = _labels(cells, {"项目名称": "project_name", "个人业绩记录编号": "record_id",
+                                "企业业绩记录编号": "company_id", "人员证件号码": "id_number"})
+            perf_dets[pfid] = {k: (v or "").strip() for k, v in d.items()}
+        elif kind == "security_list":
+            code = _qparam(url, "corpcode")
+            for r in range(len(cells) // 7):
+                row = cells[r * 7:(r + 1) * 7]
+                name, cert, valid = row[1], row[4], row[6]
+                if not name or not name.strip():
+                    continue
+                if "B" in cert:
+                    role = "安全员B"
+                elif "C" in cert:
+                    role = "安全员C"
+                else:
+                    continue
+                security.append(
+                    {"corp_code": code, "name": name.strip(), "cert_code": cert,
+                     "role": role, "valid_date": valid}
+                )
+
+    companies = [
+        {"corp_code": code, **s,
+         **details.get(code, {"corp": None, "corp_asset": None, "reg_address": None,
+                              "valid_date": None, "qualifications": None, "others": None})}
+        for code, s in searches.items()
+    ]
+
+    id_numbers: dict[str, str] = {}
+    for pfid, d in perf_dets.items():
+        pid = re.match(r"^(.+)-\d+$", pfid).group(1)
+        if d.get("id_number"):
+            cur = id_numbers.get(pid)
+            if cur is None or d["id_number"] < cur:
+                id_numbers[pid] = d["id_number"]
+
+    employees = [
+        {**e, "birth_date_raw": births.get(e["person_id"]),
+         "id_number": id_numbers.get(e["person_id"])}
+        for e in emp_rows
+    ]
+
+    emp_by_pid = {e["person_id"]: e for e in emp_rows}
+    performances = []
+    for st in perf_stubs:
+        det = perf_dets.get(st["perf_id"])
+        emp = emp_by_pid.get(st["person_id"])
+        if det is None or emp is None:
+            continue
+        performances.append(
+            {
+                "name": emp["name"],
+                "corp_code": emp["corp_code"],
+                "corp_name": searches.get(emp["corp_code"], {}).get("name"),
+                "project_name": det["project_name"],
+                "data_level": st["data_level"],
+                "role": emp["role"],  # reference quirk: NOT the zipped role
+                "record_id": det["record_id"],
+                "company_id": det["company_id"],
+            }
+        )
+
+    return {
+        "company": companies,
+        "employee": employees,
+        "security": security,
+        "performance": performances,
+    }

@@ -47,7 +47,12 @@ def kind_of_url(url_norm: str) -> str:
         ("notice", "/notice/"),
         ("bids", "/bids/"),
         ("candidates", "/candidates/"),
-        ("corp_detail", "/corp/"),
+        ("corp_search", "/corp/search"),
+        ("corp_detail", "/corp/detail"),
+        ("emp_list", "/corp/emps"),
+        ("person_perf_list", "/corp/listpersonperformance"),
+        ("perf_detail", "/corp/perfdetail"),
+        ("security_list", "/corp/security"),
     ]:
         if path.startswith(marker):
             return kind
@@ -169,6 +174,13 @@ def simulate_crawl(
                 ]
                 links = list(reversed(links))
             for _, _, media_ref, _ in links:
+                if media_ref and "/corp/persondetail" in media_ref:
+                    # F16 prefix rewrite: the crawler requests the
+                    # performance list, not the person page
+                    # (company_emp_info.py:214-216)
+                    media_ref = media_ref.replace(
+                        "/corp/persondetail", "/corp/listpersonperformance"
+                    )
                 enqueue(media_ref, e.url_norm, e.depth + 1, wave + 1, e.url_norm)
         wave += 1
 

@@ -29,13 +29,20 @@ from dataclasses import dataclass, field
 HOT_HOST = "deal.ggzy.example.org"
 COLD_HOSTS = ["www.jsjg.example.org", "corp.registry.example.org"]
 
+REGISTRY_HOST = "corp.registry.example.org"
+
 PRIORITY_BY_KIND = {  # engine + simulator share this priority policy
     "listing": 10,
     "stage": 5,
     "notice": 2,
     "bids": 2,
     "candidates": 2,
+    "corp_search": 3,
     "corp_detail": 1,
+    "emp_list": 1,
+    "person_perf_list": 1,
+    "perf_detail": 1,
+    "security_list": 1,
 }
 
 SECTION_TITLES = [
@@ -157,7 +164,15 @@ def build_site(
             bids.add("table_cell", "控制价")
             n_bidders = 2 + (h % 3)
             for b in range(n_bidders):
-                bids.add("table_cell", f"建工集团{(h + b) % 50:02d}公司")
+                if h % 5 == 0 and b == 1:
+                    # multi-company bidder string — exercises the ';' split
+                    # (T1, company_emp_info.py:62-76)
+                    bids.add(
+                        "table_cell",
+                        f"建工集团{(h + b) % 50:02d}公司;联合体建设{(h + b) % 20:02d}公司",
+                    )
+                else:
+                    bids.add("table_cell", f"建工集团{(h + b) % 50:02d}公司")
                 bids.add("table_cell", f"{1000 + ((h + b) % 9000)}.{b}万元" if b else f"{2000 + (h % 500)}")
             pages[bids.doc_id] = bids
 
@@ -188,6 +203,192 @@ def build_site(
         pages[url] = page
 
     return pages
+
+
+def bidder_names_of(pages: dict[str, Page]) -> list[str]:
+    """Distinct bidder names from the bids pages, ';'-split + trimmed like
+    expand_companies (company_emp_info.py:62-76); sorted for determinism
+    (the reference samples with ORDER BY RANDOM() — seeded determinism is
+    our documented divergence, SURVEY.md O1)."""
+    names: set[str] = set()
+    for p in pages.values():
+        if p.page_kind != "bids":
+            continue
+        cells = [t for (k, t, _, _) in sorted(p.spans, key=lambda s: s[3]) if k == "table_cell"]
+        for i in range(2, len(cells) - 1, 2):
+            raw = cells[i] or ""
+            for part in raw.split(";"):
+                part = part.strip()
+                if part:
+                    names.add(part)
+    return sorted(names)
+
+
+def corp_code_of(name: str, seed: int = 42) -> str | None:
+    """Deterministic USCI-style corp code; ~1 in 6 names have no registry
+    entry (the reference's 'No company code found' warning path)."""
+    h = _h(seed, "corp", name)
+    if h % 6 == 0:
+        return None
+    return f"91540000{h % 10**8:08d}X"
+
+
+def build_corp_site(
+    bidder_names: list[str], seed: int = 42
+) -> dict[str, Page]:
+    """Registry-host page graph for the company/employee crawl
+    (company_emp_info.py semantics — SURVEY.md §3.2):
+
+    corp_search?name=N   4th table_cell = corp_code (td[4], :79-81);
+                         links to detail / employee list / security list
+                         (the reference constructs these URLs from the
+                         extracted code, :84-101)
+    corp_detail          label-sibling cell pairs (法人姓名/注册资本/经营地址/
+                         报送有效期, :109-114) + 资质条目 cells (P5 keyword
+                         filter+dedup, :115-121) + 其他 cell
+    emp_list             7-cell employee rows (name link td2, cert td3,
+                         role td4, valid td6, major td7 split '、',
+                         :197-211); page 1 links pages 2..n (O4 'seen'
+                         guard = deeper pages carry no pagination links);
+                         person links use /corp/persondetail which the
+                         crawler rewrites to /corp/listpersonperformance
+                         (F16 prefix rewrite, :214-216)
+    person_perf_list     出生日期 pair (:151-154) + stride-3 perf rows
+                         (level, role, detail link) zipped positionally
+                         (J5, :162-167)
+    perf_detail          label pairs: 项目名称/个人业绩记录编号/企业业绩记录编号/
+                         人员证件号码 (:134-139)
+    security_list        rows whose cert codes contain B/C or neither
+                         (P8 classification, :256-261)
+    """
+    pages: dict[str, Page] = {}
+    host = REGISTRY_HOST
+
+    for name in bidder_names:
+        from urllib.parse import quote
+
+        search = Page(f"https://{host}/corp/search?name={quote(name)}", "corp_search", host)
+        code = corp_code_of(name, seed)
+        search.add("table_cell", name)
+        search.add("table_cell", "西藏")
+        search.add("table_cell", "施工企业")
+        if code is None:
+            pages[search.doc_id] = search  # no 4th cell → dead end
+            continue
+        search.add("table_cell", code)
+        search.add("link", "企业详情", f"https://{host}/corp/detail?corpcode={code}")
+        search.add("link", "注册人员", f"https://{host}/corp/emps?corpcode={code}&pageIndex=1")
+        search.add("link", "安全人员", f"https://{host}/corp/security?corpcode={code}&pageIndex=1")
+        pages[search.doc_id] = search
+
+        h = _h(seed, "corpdata", code)
+        detail = Page(f"https://{host}/corp/detail?corpcode={code}", "corp_detail", host)
+        detail.add("table_cell", "法人姓名")
+        detail.add("table_cell", f"法人{h % 100:02d}")
+        detail.add("table_cell", "注册资本")
+        detail.add("table_cell", f"{1000 + h % 50000}万元")
+        detail.add("table_cell", "经营地址")
+        detail.add("table_cell", f"拉萨市某区某路{h % 200}号")
+        detail.add("table_cell", "报送有效期")
+        detail.add("table_cell", f"2025-{h % 12 + 1:02d}-01")
+        quals = [
+            "房屋建筑工程施工总承包壹级",      # kept: 工程施工 + 承包壹级
+            "市政公用工程施工总承包贰级",      # kept
+            "建筑装饰装修工程专业承包一级",    # kept: 工程专业
+            "劳务分包资质",                   # dropped: no keyword
+            "房屋建筑工程施工总承包壹级",      # duplicate → dedup
+        ]
+        for q in quals[: 3 + h % 3]:
+            detail.add("table_cell", f"资质条目：{q}")
+        detail.add("table_cell", f"其他：信用等级{'ABC'[h % 3]}")
+        pages[detail.doc_id] = detail
+
+        n_pages = 1 + (h % 2)  # 1-2 employee list pages (pagination O4)
+        n_emp_per_page = 1 + (h % 2)
+        eid = 0
+        for pg in range(1, n_pages + 1):
+            emp = Page(
+                f"https://{host}/corp/emps?corpcode={code}&pageIndex={pg}",
+                "emp_list", host,
+            )
+            for _ in range(n_emp_per_page):
+                eid += 1
+                he = _h(seed, "emp", code, eid)
+                pid_url = f"https://{host}/corp/persondetail?id={code}-{eid}"
+                emp.add("table_cell", str(eid))  # td1
+                emp.add("link", f"项目经理{he % 500:03d}", pid_url)  # td2 name+href
+                emp.add("table_cell", f"ZJ{he % 10**6:06d}" if he % 4 else "")  # td3 cert
+                emp.add("table_cell", ["一级建造师", "二级建造师"][he % 2])  # td4 role
+                emp.add("table_cell", "注册")  # td5
+                emp.add("table_cell", f"2026-0{he % 9 + 1}-01")  # td6 valid
+                emp.add("table_cell", "建筑工程、市政公用工程")  # td7 major
+            if pg == 1 and n_pages > 1:
+                for nxt in range(2, n_pages + 1):
+                    emp.add(
+                        "link", str(nxt),
+                        f"https://{host}/corp/emps?corpcode={code}&pageIndex={nxt}",
+                    )
+            pages[emp.doc_id] = emp
+
+            for e in range(eid - n_emp_per_page + 1, eid + 1):
+                he = _h(seed, "emp", code, e)
+                person = Page(
+                    f"https://{host}/corp/listpersonperformance?id={code}-{e}",
+                    "person_perf_list", host,
+                )
+                person.add("table_cell", "出生日期")
+                person.add("table_cell", f"19{70 + he % 30}-0{he % 9 + 1}-15")
+                for pf in range(he % 3):  # 0-2 performances
+                    hp = _h(seed, "perf", code, e, pf)
+                    person.add("table_cell", ["省级", "市级"][hp % 2])  # level
+                    person.add("table_cell", ["项目经理", "技术负责人"][hp % 2])  # (zipped-but-ignored role)
+                    person.add(
+                        "link", "详情",
+                        f"https://{host}/corp/perfdetail?id={code}-{e}-{pf}",
+                    )
+                pages[person.doc_id] = person
+                for pf in range(he % 3):
+                    hp = _h(seed, "perf", code, e, pf)
+                    perf = Page(
+                        f"https://{host}/corp/perfdetail?id={code}-{e}-{pf}",
+                        "perf_detail", host,
+                    )
+                    perf.add("table_cell", "项目名称")
+                    perf.add("table_cell", f"某某工程{hp % 1000:03d}项目")
+                    perf.add("table_cell", "个人业绩记录编号")
+                    perf.add("table_cell", f"GR{hp % 10**6:06d}")
+                    perf.add("table_cell", "企业业绩记录编号")
+                    perf.add("table_cell", f"QY{hp % 10**6:06d}")
+                    perf.add("table_cell", "人员证件号码")
+                    perf.add("table_cell", f"5401{hp % 10**10:010d}" if hp % 3 else "")
+                    pages[perf.doc_id] = perf
+
+        sec = Page(
+            f"https://{host}/corp/security?corpcode={code}&pageIndex=1",
+            "security_list", host,
+        )
+        for s in range(2 + h % 2):
+            hs = _h(seed, "sec", code, s)
+            sec.add("table_cell", str(s + 1))  # td1
+            sec.add("table_cell", f"安全员{hs % 300:03d}")  # td2 name
+            sec.add("table_cell", "在岗")  # td3
+            sec.add("table_cell", "三类人员")  # td4
+            cert = ["AQB{:05d}".format(hs % 10**5), "AQC{:05d}".format(hs % 10**5),
+                    "AQX{:05d}".format(hs % 10**5)][hs % 3]  # td5: B / C / neither
+            sec.add("table_cell", cert)
+            sec.add("table_cell", "有效")  # td6
+            sec.add("table_cell", f"2026-1{hs % 2}-01")  # td7 valid
+        pages[sec.doc_id] = sec
+
+    return pages
+
+
+def company_seed_urls(names: list[str]) -> list[str]:
+    from urllib.parse import quote
+
+    return [
+        f"https://{REGISTRY_HOST}/corp/search?name={quote(n)}" for n in names
+    ]
 
 
 def default_seeds() -> list[str]:

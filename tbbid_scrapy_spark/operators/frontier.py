@@ -166,7 +166,11 @@ def politeness_rank(pending: DataFrame, politeness: DataFrame,
     local cut; pass-through hosts are unaffected. Selection is therefore
     identical to the naive window (pinned by the ordering parity tests).
     """
-    budgets = F.broadcast(politeness.select("host", "budget_per_wave"))
+    # defensive: one budget row per host (duplicate rule rows would
+    # multiply frontier rows through the join)
+    budgets = F.broadcast(
+        politeness.groupBy("host").agg(F.min("budget_per_wave").alias("budget_per_wave"))
+    )
     with_budget = pending.join(budgets, on="host", how="left").withColumn(
         "_budget", F.coalesce(F.col("budget_per_wave"), F.lit(default_budget))
     ).drop("budget_per_wave")

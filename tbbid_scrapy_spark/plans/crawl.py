@@ -59,6 +59,19 @@ FETCH_LOG_SCHEMA = T.StructType(
     ]
 )
 
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("wave", T.IntegerType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("urls_scheduled", T.LongType(), False),
+        T.StructField("fetched_ok", T.LongType(), False),
+        T.StructField("failed_404", T.LongType(), False),
+        T.StructField("retried_5xx", T.LongType(), False),
+        T.StructField("spans_extracted", T.LongType(), False),
+    ]
+)
+
 EXTRACTED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
@@ -94,7 +107,12 @@ def _kind_expr(url_norm):
     path = F.parse_url(url_norm, F.lit("PATH"))
     expr = F.lit("other")
     for kind, marker in [
-        ("corp_detail", "/corp/"),
+        ("corp_search", "/corp/search"),
+        ("corp_detail", "/corp/detail"),
+        ("emp_list", "/corp/emps"),
+        ("person_perf_list", "/corp/listpersonperformance"),
+        ("perf_detail", "/corp/perfdetail"),
+        ("security_list", "/corp/security"),
         ("candidates", "/candidates/"),
         ("bids", "/bids/"),
         ("notice", "/notice/"),
@@ -123,6 +141,7 @@ class CrawlState:
     shards: DataFrame | None
     fetch_log_parts: list[DataFrame]
     extracted_parts: list[DataFrame]
+    metrics_parts: list[DataFrame] = field(default_factory=list)
     metrics: list[dict] = field(default_factory=list)
     wave: int = 0
     next_seq: int = 0  # driver-tracked global enqueue counter
@@ -140,6 +159,17 @@ class CrawlState:
         assert self.extracted_parts
         out = self.extracted_parts[0]
         for p in self.extracted_parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    @property
+    def metrics_table(self) -> DataFrame:
+        """Per-(wave, partition, host) fetch/parse metrics — the
+        north-star's per-partition lineage companion (row-level lineage
+        itself is the frontier's parent_id chain)."""
+        assert self.metrics_parts
+        out = self.metrics_parts[0]
+        for p in self.metrics_parts[1:]:
             out = out.unionByName(p)
         return out
 
@@ -165,7 +195,8 @@ class CrawlEngine:
         self.robots = robots
         self._tables: dict[str, SnapshotTable] = {}
         if self.config.checkpoint_dir:
-            for name in ["frontier", "seen", "shards", "fetch_log", "extracted"]:
+            for name in ["frontier", "seen", "shards", "fetch_log", "extracted",
+                         "metrics"]:
                 self._tables[name] = SnapshotTable(
                     spark, f"{self.config.checkpoint_dir}/{name}"
                 )
@@ -204,7 +235,8 @@ class CrawlEngine:
             shards0 = bloom_insert(f0.select("url_hash"), shards0, self.config.bloom_spec)
         log0 = spark.createDataFrame([], FETCH_LOG_SCHEMA)
         ex0 = spark.createDataFrame([], EXTRACTED_SCHEMA)
-        return CrawlState(f0, seen0, shards0, [log0], [ex0], [], 0, n_seeds)
+        m0 = spark.createDataFrame([], METRICS_SCHEMA)
+        return CrawlState(f0, seen0, shards0, [log0], [ex0], [m0], [], 0, n_seeds)
 
     # -- checkpoint / resume ------------------------------------------------
 
@@ -221,6 +253,7 @@ class CrawlEngine:
             # but only ONCE per wave and the parts stay delta-shaped
             self._tables["fetch_log"].commit(st.fetch_log)
             self._tables["extracted"].commit(st.extracted)
+            self._tables["metrics"].commit(st.metrics_table)
             with open(f"{self.config.checkpoint_dir}/_WAVE", "w") as fh:
                 json.dump({"wave": st.wave, "next_seq": st.next_seq}, fh)
             return CrawlState(
@@ -229,6 +262,7 @@ class CrawlEngine:
                 self._tables["shards"].read() if st.shards is not None else None,
                 [self._tables["fetch_log"].read()],
                 [self._tables["extracted"].read()],
+                [self._tables["metrics"].read()],
                 st.metrics,
                 st.wave,
                 st.next_seq,
@@ -241,16 +275,20 @@ class CrawlEngine:
         # materializing; older parts were checkpointed in earlier waves
         log_parts = list(st.fetch_log_parts)
         ex_parts = list(st.extracted_parts)
+        m_parts = list(st.metrics_parts)
         if log_parts:
             log_parts[-1] = log_parts[-1].coalesce(n).localCheckpoint()
         if ex_parts:
             ex_parts[-1] = ex_parts[-1].coalesce(n).localCheckpoint()
+        if m_parts:
+            m_parts[-1] = m_parts[-1].coalesce(1).localCheckpoint()
         return CrawlState(
             st.frontier.coalesce(n).localCheckpoint(),
             st.seen.coalesce(n).localCheckpoint(),
             st.shards.localCheckpoint() if st.shards is not None else None,
             log_parts,
             ex_parts,
+            m_parts,
             st.metrics,
             st.wave,
             st.next_seq,
@@ -267,6 +305,7 @@ class CrawlEngine:
             self._tables["shards"].read() if self._tables["shards"].exists() else None,
             [self._tables["fetch_log"].read()],
             [self._tables["extracted"].read()],
+            [self._tables["metrics"].read()],
             [],
             meta["wave"],
             meta["next_seq"],
@@ -326,6 +365,26 @@ class CrawlEngine:
         log_add = fetched.select(
             F.lit(w).alias("wave"), "fetch_pos", "url_norm", "status"
         )
+        # per-(partition, host) fetch/parse metrics — computed on the
+        # already-persisted batch, one narrow aggregation per wave
+        m_add = (
+            fetched.groupBy(
+                F.spark_partition_id().alias("partition_id"), F.col("host")
+            )
+            .agg(
+                F.count("*").alias("urls_scheduled"),
+                F.sum((F.col("status") == 200).cast("long")).alias("fetched_ok"),
+                F.sum((F.col("status") == 404).cast("long")).alias("failed_404"),
+                F.sum((F.col("status") == 503).cast("long")).alias("retried_5xx"),
+                F.sum(
+                    F.when(F.col("status") == 200, F.size("spans")).otherwise(0)
+                ).alias("spans_extracted"),
+            )
+            .select(
+                F.lit(w).alias("wave"), "partition_id", "host", "urls_scheduled",
+                "fetched_ok", "failed_404", "retried_5xx", "spans_extracted",
+            )
+        )
 
         ok = fetched.filter(F.col("status") == 200)
         ex_add = ok.select(
@@ -372,6 +431,14 @@ class CrawlEngine:
         # canonicalize/dedup pipeline behind one task — spread them first
         links = links.repartition(
             cfg.num_partitions or self.spark.sparkContext.defaultParallelism
+        )
+        # F16 prefix rewrite before canonicalization: person-detail links
+        # are requested as performance lists (company_emp_info.py:214-216)
+        links = links.withColumn(
+            "child_url",
+            F.regexp_replace(
+                "child_url", "/corp/persondetail", "/corp/listpersonperformance"
+            ),
         )
         children = links.withColumn(
             "url_norm", resolve_and_canonicalize_pd(F.col("child_url"), F.col("parent"))
@@ -505,6 +572,7 @@ class CrawlEngine:
                 new_shards,
                 st.fetch_log_parts + [log_add],
                 st.extracted_parts + [ex_add],
+                st.metrics_parts + [m_add],
                 st.metrics,
                 w + 1,
                 st.next_seq + n_new,

@@ -1,0 +1,159 @@
+"""Company/employee/performance crawl chain (company_emp_info.py twin):
+two-phase crawl parity + item extraction parity + relational upserts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tbbid_scrapy_spark import schemas
+from tbbid_scrapy_spark.fixtures import ref_items, sitegen
+from tbbid_scrapy_spark.fixtures.simulator import simulate_crawl
+from tbbid_scrapy_spark.plans import relational
+from tbbid_scrapy_spark.plans.corp_items import extract_corp_items
+from tbbid_scrapy_spark.plans.crawl import CrawlConfig, CrawlEngine
+from tests.conftest import SITE_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def corp_world(spark):
+    site = sitegen.build_site(2, 4, seed=42)
+    names = sitegen.bidder_names_of(site)
+    site.update(sitegen.build_corp_site(names, seed=42))
+    seeds = sitegen.default_seeds() + sitegen.company_seed_urls(names)
+    pol = sitegen.default_politeness(100, 100)  # lifted: compress waves
+    rob = sitegen.default_robots()
+    sim = simulate_crawl(site, seeds, pol, rob, max_waves=80, default_budget=100)
+    site_df = spark.createDataFrame(sitegen.site_to_rows(site), SITE_SCHEMA)
+    eng = CrawlEngine(
+        spark, site_df, seeds,
+        spark.createDataFrame(pol, schemas.POLITENESS),
+        spark.createDataFrame(rob, schemas.ROBOTS),
+        CrawlConfig(max_waves=80, default_budget=100),
+    )
+    st = eng.run()
+    return sim, st, names
+
+
+def test_two_phase_crawl_parity(corp_world):
+    sim, st, _ = corp_world
+    order = [
+        (r.wave, r.url_norm)
+        for r in st.fetch_log.orderBy("wave", "fetch_pos").collect()
+    ]
+    assert order == sim.fetch_log
+    assert {r.url_norm for r in st.seen.collect()} == sim.seen
+
+
+def test_seed_names_include_semicolon_split(corp_world):
+    _, _, names = corp_world
+    assert any(n.startswith("联合体建设") for n in names), (
+        "';'-split companies missing from seeds (T1)"
+    )
+
+
+@pytest.fixture(scope="module")
+def corp_items(spark, corp_world):
+    _, st, _ = corp_world
+    return extract_corp_items(st.extracted)
+
+
+@pytest.fixture(scope="module")
+def sim_corp_items(corp_world):
+    sim, _, _ = corp_world
+    return ref_items.expected_corp_items(sim.extracted)
+
+
+def _rows(df, cols):
+    out = []
+    for r in df.select(*cols).collect():
+        out.append(tuple(tuple(v) if isinstance(v, list) else v for v in (r[c] for c in cols)))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def _expected(ds, cols):
+    out = []
+    for d in ds:
+        out.append(tuple(tuple(v) if isinstance(v, list) else v for v in (d[c] for c in cols)))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def test_company_items_match(corp_items, sim_corp_items):
+    cols = ["corp_code", "name", "corp", "corp_asset", "reg_address",
+            "valid_date", "qualifications", "others"]
+    assert _rows(corp_items["company"], cols) == _expected(sim_corp_items["company"], cols)
+
+
+def test_employee_items_match(corp_items, sim_corp_items):
+    cols = ["corp_code", "name", "cert_code", "role", "valid_date", "major",
+            "birth_date_raw", "id_number"]
+    assert _rows(corp_items["employee"], cols) == _expected(sim_corp_items["employee"], cols)
+
+
+def test_security_items_match(corp_items, sim_corp_items):
+    cols = ["corp_code", "name", "cert_code", "role", "valid_date"]
+    assert _rows(corp_items["security"], cols) == _expected(sim_corp_items["security"], cols)
+
+
+def test_performance_items_match(corp_items, sim_corp_items):
+    cols = ["name", "corp_code", "corp_name", "project_name", "data_level",
+            "role", "record_id", "company_id"]
+    assert _rows(corp_items["performance"], cols) == _expected(sim_corp_items["performance"], cols)
+
+
+def test_qualification_filter_semantics(corp_items):
+    """P5: only entries containing a keyword survive; 劳务分包资质 never
+    appears; duplicates collapsed; canonical sorted order."""
+    for r in corp_items["company"].select("qualifications").collect():
+        if r.qualifications is None:
+            continue
+        assert all(
+            any(k in q for k in ["工程施工", "工程专业", "承包贰级", "承包壹级"])
+            for q in r.qualifications
+        )
+        assert len(set(r.qualifications)) == len(r.qualifications)
+        assert list(r.qualifications) == sorted(r.qualifications)
+
+
+def test_security_role_classification(corp_items):
+    rows = corp_items["security"].collect()
+    assert rows, "no security rows extracted"
+    for r in rows:
+        assert (r.role == "安全员B") == ("B" in r.cert_code)
+        if r.role == "安全员C":
+            assert "C" in r.cert_code and "B" not in r.cert_code
+
+
+def test_company_employee_upserts(spark, corp_items):
+    """Sink the crawled items through the company/employee/perf merges."""
+    company_in = corp_items["company"].withColumn("bid_count", F.lit(1))
+    cur = spark.createDataFrame([], company_in.schema)
+    t1 = relational.upsert_company(cur, company_in)
+    assert t1.count() == company_in.count()
+    # re-sight: bid_count accumulates
+    t2 = relational.upsert_company(t1, company_in)
+    assert t2.filter(F.col("bid_count") == 2).count() == company_in.count()
+
+    emp_in = corp_items["employee"].unionByName(
+        corp_items["security"]
+        .withColumn("major", F.lit(None).cast("array<string>"))
+        .withColumn("birth_date_raw", F.lit(None).cast("string"))
+        .withColumn("id_number", F.lit(None).cast("string"))
+        .withColumn("person_id", F.lit(None).cast("string")),
+        allowMissingColumns=False,
+    ).drop("person_id")
+    cur_e = spark.createDataFrame([], emp_in.schema)
+    merged = relational.upsert_employee(cur_e, emp_in)
+    # conditional key: no (cert or name|corp) collisions lost
+    from tbbid_scrapy_spark.plans.relational import employee_merge_key
+
+    keys = employee_merge_key(emp_in).select("merge_key").distinct().count()
+    assert merged.count() == keys
+
+    perf_in = corp_items["performance"]
+    cur_p = spark.createDataFrame([], perf_in.schema)
+    p1 = relational.upsert_person_performance(cur_p, perf_in)
+    assert p1.count() == perf_in.dropDuplicates(
+        ["name", "corp_code", "project_name", "role"]
+    ).count()
