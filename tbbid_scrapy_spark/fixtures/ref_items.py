@@ -322,3 +322,57 @@ def expected_corp_items(extracted: dict[str, list[Span]]) -> dict[str, list[dict
         "security": security,
         "performance": performances,
     }
+
+
+# ---------------------------------------------------------------------------
+# JSON-API winner items (bid_notice/national_bid_list twin of
+# plans/api_items.py)
+# ---------------------------------------------------------------------------
+
+_DT_FORMATS = ["%Y-%m-%d %H:%M:%S", "%Y-%m-%d", "%Y/%m/%d %H:%M:%S", "%Y/%m/%d"]
+
+
+def _parse_dt(s: str | None):
+    from datetime import datetime
+
+    if not s:
+        return None
+    for f in _DT_FORMATS:
+        try:
+            return datetime.strptime(s, f)
+        except ValueError:
+            continue
+    return None
+
+
+def expected_api_items(
+    extracted: dict[str, list[Span]], cities: list[tuple[str, str, str]]
+) -> list[dict]:
+    import json
+
+    city_by_code = {c[0]: c[1] for c in cities}
+    out = []
+    for url, spans in extracted.items():
+        if "/api/list" not in url:
+            continue
+        body = next((t for k, t, _, _ in sorted(spans, key=lambda s: s[3]) if k == "text"), None)
+        if body is None:
+            continue
+        p = json.loads(body)
+        if not p.get("success") or not p.get("data"):
+            continue
+        for d in p["data"]:
+            out.append(
+                {
+                    "corp_code": d["corpCode"],
+                    "project_name": d["projectName"],
+                    "bidder_name": d["bidderName"],
+                    "area_code": d["areaCode"],
+                    "win_amt": d["winAmt"],
+                    "create_time": _parse_dt(d["createTime"]),
+                    "tender_org_name": d["tenderOrgName"],
+                    "tos": d["tos"],
+                    "city_name": city_by_code.get((d["areaCode"] or "")[:4]),
+                }
+            )
+    return out

@@ -383,6 +383,81 @@ def build_corp_site(
     return pages
 
 
+API_HOST = "api.ggzy.example.org"
+
+# synthetic Tibet-prefecture dimension (the reference ships a 342-row
+# cities.json joined on substring(area_code,1,4) — bid_notice.py:105-116;
+# we synthesize the same shape rather than copying the data file)
+CITIES: list[tuple[str, str, str]] = [
+    ("5401", "拉萨市", "54"),
+    ("5402", "日喀则市", "54"),
+    ("5403", "昌都市", "54"),
+    ("5404", "林芝市", "54"),
+    ("5405", "山南市", "54"),
+    ("5406", "那曲市", "54"),
+    ("5425", "阿里地区", "54"),
+]
+
+
+def build_api_site(n_items: int = 30, rows_per_page: int = 8, seed: int = 42) -> dict[str, Page]:
+    """JSON-API source pages (bid_notice.py / national_bid_list.py
+    semantics): each page's body is ONE text span holding the JSON
+    payload; page 1 links pages 2..total//rows+1 (O3 pagination
+    pre-materialization); success:false pages contribute nothing (P9).
+
+    Payload rows carry the winner_bid_info fields incl. area codes that
+    hit (and miss) the cities dimension and createTime in all four
+    accepted datetime formats plus one invalid (F18)."""
+    import json as _json
+
+    pages: dict[str, Page] = {}
+    n_pages = n_items // rows_per_page + 1  # F21 page-count math
+    fmt_variants = [
+        "2024-03-1{d} 10:2{d}:05", "2024-03-1{d}", "2024/03/1{d} 10:2{d}:05",
+        "2024/03/1{d}", "bogus-date",
+    ]
+    item_idx = 0
+    for pg in range(1, n_pages + 1):
+        url = f"https://{API_HOST}/api/list?page={pg}&rows={rows_per_page}"
+        page = Page(url, "api_list", API_HOST)
+        success = not (pg == n_pages and _h(seed, "apifail", pg) % 3 == 0)
+        data = []
+        if success:
+            for _ in range(min(rows_per_page, n_items - item_idx)):
+                item_idx += 1
+                h = _h(seed, "api", item_idx)
+                area = CITIES[h % len(CITIES)][0] + f"{h % 100:02d}" if h % 5 else f"9999{h % 100:02d}"
+                data.append(
+                    {
+                        "projectName": f"API项目{item_idx:04d}",
+                        "corpCode": f"91540000{h % 10**8:08d}A",
+                        "bidderName": f"中标集团{h % 40:02d}公司",
+                        "areaCode": area,
+                        "winAmt": round(100 + (h % 10**6) / 100.0, 2),
+                        "createTime": fmt_variants[h % 5].format(d=h % 9),
+                        "tos": ["工程", "货物", "服务"][h % 3],
+                        "tenderOrgName": f"招标机构{h % 9}",
+                    }
+                )
+        body = _json.dumps(
+            {"success": success, "total": n_items, "data": data},
+            ensure_ascii=False, sort_keys=True,
+        )
+        page.add("text", body)
+        if pg == 1:
+            for nxt in range(2, n_pages + 1):
+                page.add(
+                    "link", str(nxt),
+                    f"https://{API_HOST}/api/list?page={nxt}&rows={rows_per_page}",
+                )
+        pages[url] = page
+    return pages
+
+
+def api_seed() -> list[str]:
+    return [f"https://{API_HOST}/api/list?page=1&rows=8"]
+
+
 def company_seed_urls(names: list[str]) -> list[str]:
     from urllib.parse import quote
 
