@@ -122,3 +122,19 @@ def test_retry_semantics(spark, politeness_df, robots_df):
     }
     for u, e in sim.entries.items():
         assert eng_states[u] == (e.state, e.attempts), u
+
+
+def test_simulated_politeness_clock(engine_state, politeness_df):
+    """The derived politeness timeline respects the reference's rate
+    ceiling: per wave, a host with budget 4 and 2s delay contributes
+    exactly ceil(n/4)*2s; the total implies ≤4 req/s/host."""
+    from tbbid_scrapy_spark.plans.clock import simulated_clock
+
+    clock = simulated_clock(engine_state.fetch_log, politeness_df).collect()
+    assert clock, "no waves"
+    for r in clock:
+        assert r.sim_duration_s >= 2.0  # at least one 2s slot per wave
+        assert r.fetches <= 4 * 3  # ≤ budget × n_hosts
+    total_fetches = sum(r.fetches for r in clock)
+    total_s = sum(r.sim_duration_s for r in clock)
+    assert total_fetches / total_s <= 4 * 3 / 2.0  # global ceiling
