@@ -148,15 +148,17 @@ def q_parent_child_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated children (meta-dict threading, bid_info.py:113-117)."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # decimal end-to-end through BOTH aggregation levels: a double in the
+    # middle re-rounds differently across engines (r1 hash mismatch)
     child = li.groupBy("l_orderkey").agg(
-        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")).cast("double").alias("order_rev"),
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")).alias("order_rev"),
         F.count("*").alias("n_lines"),
     )
     return (
         o.join(child, o.o_orderkey == child.l_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            F.sum(F.col("order_rev").cast("decimal(18,4)")).cast("double").alias("revenue"),
+            F.sum("order_rev").cast("double").alias("revenue"),
             F.sum("n_lines").alias("lines"),
             F.count("*").alias("orders_cnt"),
         )
@@ -223,7 +225,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     per event type."""
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        ev.withColumn("k", F.get_json_object("props", "$.k").try_cast("int"))
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count("*").alias("cnt"))
         .orderBy("event_type")
@@ -356,8 +358,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (τ=0.5) — ground truth for
-    the MinHash path."""
+    """Exact word-3-gram Jaccard near-dup pairs (τ=0.5), computed as
+    df-capped candidate generation + per-pair exact verify (the default
+    max_shingle_df=1000 guard is ON — it never binds at fixture scale, so
+    the uncapped oracle SQL still matches exactly)."""
     from tbbid_scrapy_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -369,22 +373,33 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (hash-seeded — rows-only oracle;
-    recall vs exact Jaccard asserted in tests/test_operators_dedup.py)."""
+    """MinHash+LSH near-dup: banded-LSH candidates verified by the TRUE
+    n-gram Jaccard — so the output is engine-independent and the exact
+    all-pairs SQL is a genuine oracle (band recall over every qualifying
+    pair is pinned at these fixtures by tests/test_operators_dedup.py)."""
     from tbbid_scrapy_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, n=3, num_hashes=32, bands=8, threshold=0.5).orderBy(
-        "id_a", "id_b"
+    return (
+        minhash_lsh_pairs(d, n=3, num_hashes=32, bands=8, threshold=0.5,
+                          verify="exact")
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
     )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3; hash-seeded — rows-only)."""
-    from tbbid_scrapy_spark.operators.dedup import simhash_pairs
+    """SimHash near-dup: shingle-feature simhash → rotated-window band
+    candidates → exact-Jaccard verify (same oracle as the exact
+    computation; candidate recall pinned in tests)."""
+    from tbbid_scrapy_spark.operators.dedup import simhash_verified_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
+    return (
+        simhash_verified_pairs(d, n=3, threshold=0.5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,12 +446,16 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (exact cosine ≥ 0.95)."""
+    """Embedding near-duplicate pairs (cosine ≥ 0.95) via the LSH-bucket
+    scale path (default — no all-pairs join reachable from queries();
+    exact=True remains available for audit). The exact all-pairs SQL is
+    the oracle; bucket recall at this threshold/fixture is pinned in
+    tests/test_operators_similarity.py."""
     from tbbid_scrapy_spark.operators.similarity import pairs_above
 
     emb = _t(spark, sf_dir, "embeddings")
     return (
-        pairs_above(emb, threshold=0.95, exact=True)
+        pairs_above(emb, threshold=0.95)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
         .orderBy("id_a", "id_b")
     )
@@ -514,10 +533,18 @@ def q_is_number(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_section_chinese(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1+F2 full semantics incl. the Chinese-numeral branch (needs the
-    numeral pandas UDF — not SQL-expressible, rows-only driver check;
-    exact values pinned in tests/test_functions.py)."""
-    from tbbid_scrapy_spark.functions.chinese import extract_section_number
+    """F1+F2 full semantics incl. the Chinese-numeral branch, now with a
+    genuine value oracle: each row also converts a synthesized Chinese
+    numeral for (doc_id % 99)+1 — rendered by the inverse generator
+    ``arabic_to_chinese`` covering 1-99, both tens spellings and
+    traditional digits — back to an int via the pandas UDF. DuckDB
+    recomputes that int arithmetically, so any conversion error in the
+    1-99 domain (or in the '-01' quirk branches) breaks the hash."""
+    from tbbid_scrapy_spark.functions.chinese import (
+        arabic_to_chinese,
+        chinese_to_arabic_pd,
+        extract_section_number,
+    )
 
     d = _t(spark, sf_dir, "documents")
     title = (
@@ -527,11 +554,18 @@ def q_section_chinese(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 4 == 2, F.lit("总承包标段"))
         .otherwise(F.lit("普通标题"))
     )
+    numerals = F.array(*[F.lit(arabic_to_chinese(i + 1)) for i in range(99)])
+    numeral = F.when(F.col("doc_id") % 7 == 0, F.lit("甲乙")).otherwise(
+        F.element_at(numerals, (F.col("doc_id") % 99 + 1).cast("int"))
+    )
     return (
-        d.select(extract_section_number(title).alias("section_id"))
-        .groupBy("section_id")
+        d.select(
+            extract_section_number(title).alias("section_id"),
+            chinese_to_arabic_pd(numeral).alias("num"),
+        )
+        .groupBy("section_id", "num")
         .agg(F.count("*").alias("cnt"))
-        .orderBy("section_id")
+        .orderBy("section_id", "num")
     )
 
 
@@ -551,14 +585,22 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic media feature vectors (rows-only: float arrays)."""
-    from tbbid_scrapy_spark.operators.multimodal import media_features, synthetic_media
-
-    return (
-        media_features(synthetic_media(spark, 100))
-        .select("media_id", "features")
-        .orderBy("media_id")
+    """Deterministic media feature vectors, canonicalized to one rounded
+    double column per dimension (an array column crashes the driver's
+    sort-based canonicalizer, and scalars let DuckDB recompute the fake
+    backend's arithmetic as a true value oracle)."""
+    from tbbid_scrapy_spark.operators.multimodal import (
+        FEATURE_DIM,
+        media_features,
+        synthetic_media,
     )
+
+    mf = media_features(synthetic_media(spark, 100))
+    dims = [
+        F.round(F.element_at("features", i + 1).cast("double"), 6).alias(f"f{i}")
+        for i in range(FEATURE_DIM)
+    ]
+    return mf.select("media_id", *dims).orderBy("media_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -604,6 +646,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 _TOKEN_RE = r"[a-z]+|[0-9]+|[^\sa-z0-9]"
 _STOP_EN = "['the','of','and','to','in','is','that','it','for','on']"
+
+# Exact n-gram Jaccard ground truth. It is the oracle for THREE queries:
+# ngram_jaccard (direct), minhash_lsh and simhash (both emit candidates
+# verified by the exact Jaccard, so their outputs must equal the exact
+# pair set whenever candidate recall is total — pinned in tests).
+_JACCARD_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(w[i+1:i+3], ' ') for i in range(len(w) - 2)]
+        )) AS shingle
+        FROM toks WHERE len(w) >= 3
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    ORDER BY id_a, id_b
+"""
+
+# Stopword hit counts per language (mirrors operators/text.py STOPWORDS);
+# argmax with ties broken by language-code order (de < en < es < fr).
+_LANG_LISTS = {
+    "en": "['the','of','and','to','in','is','that','it','for','on']",
+    "es": "['el','la','de','que','y','en','un','los','se','no']",
+    "de": "['der','die','und','das','von','zu','mit','den','ist','nicht']",
+    "fr": "['le','la','de','et','les','des','en','un','du','que']",
+}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -658,13 +738,13 @@ def oracle_sql() -> dict[str, str]:
         "parent_child_join": """
             WITH child AS (
                 SELECT l_orderkey,
-                       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS order_rev,
+                       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS order_rev,
                        count(*) AS n_lines
                 FROM lineitem GROUP BY l_orderkey
             )
             SELECT o_orderpriority,
-                   CAST(sum(CAST(order_rev AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-                   sum(n_lines) AS lines,
+                   CAST(sum(order_rev) AS DOUBLE) AS revenue,
+                   CAST(sum(n_lines) AS BIGINT) AS lines,
                    count(*) AS orders_cnt
             FROM orders JOIN child ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -698,7 +778,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+                   CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                    count(*) AS cnt
             FROM events GROUP BY event_type ORDER BY event_type
         """,
@@ -774,29 +854,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
             FROM documents GROUP BY {_NORM} ORDER BY keep_doc_id
         """,
-        "ngram_jaccard": f"""
-            WITH toks AS (
-                SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
-            ), sh AS (
-                SELECT doc_id, unnest(list_distinct(
-                    [array_to_string(w[i+1:i+3], ' ') for i in range(len(w) - 2)]
-                )) AS shingle
-                FROM toks WHERE len(w) >= 3
-            ), sizes AS (
-                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-            ), common AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-                FROM sh a JOIN sh b USING (shingle)
-                WHERE a.doc_id < b.doc_id
-                GROUP BY a.doc_id, b.doc_id
+        "ngram_jaccard": _JACCARD_SQL,
+        "minhash_lsh": _JACCARD_SQL,
+        "simhash": _JACCARD_SQL,
+        "lang_id": f"""
+            WITH words AS (
+                SELECT lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+                FROM documents
+            ), hits AS (
+                SELECT lang,
+                    len(list_filter(ws, w -> list_contains({_LANG_LISTS['de']}, w))) AS h_de,
+                    len(list_filter(ws, w -> list_contains({_LANG_LISTS['en']}, w))) AS h_en,
+                    len(list_filter(ws, w -> list_contains({_LANG_LISTS['es']}, w))) AS h_es,
+                    len(list_filter(ws, w -> list_contains({_LANG_LISTS['fr']}, w))) AS h_fr
+                FROM words
             )
-            SELECT id_a, id_b,
-                   round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
-            FROM common
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
-            ORDER BY id_a, id_b
+            SELECT lang, lang_pred, count(*) AS cnt FROM (
+                SELECT lang,
+                    CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                         WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                         WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                         WHEN h_es >= h_fr THEN 'es'
+                         ELSE 'fr' END AS lang_pred
+                FROM hits
+            ) GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+        """,
+        "section_chinese": r"""
+            SELECT section_id, num, count(*) AS cnt FROM (
+                SELECT CASE CAST(doc_id % 4 AS INT)
+                           WHEN 0 THEN printf('%03d', CAST(doc_id % 30 AS INT))
+                           WHEN 1 THEN '001'
+                           WHEN 2 THEN '-01'
+                           ELSE '001' END AS section_id,
+                       CAST(CASE WHEN doc_id % 7 = 0 THEN -1
+                            ELSE doc_id % 99 + 1 END AS INT) AS num
+                FROM documents
+            ) GROUP BY section_id, num ORDER BY section_id, num
         """,
         "text_stats": f"""
             SELECT doc_id,
@@ -901,9 +994,44 @@ def oracle_sql() -> dict[str, str]:
                    32 AS payload_bytes
             FROM range(200) t(r) ORDER BY media_id
         """,
-        # media_features: float-array output → rows-only driver check
-        # (unit-norm + determinism pinned in tests/test_streaming_multimodal.py)
-        # minhash_lsh / simhash / lang_id: hash-seeded or engine-specific →
-        # rows-only driver check; correctness pinned against exact ground
-        # truth in tests/test_operators_dedup.py and tests/test_text.py.
+        # media_features oracle: recompute the fake backend arithmetic.
+        # Synthetic blob = 'TBSM' + big-endian u32 (w, h, dur) + 32 payload
+        # bytes p(i) = (r*(i+7)) % 256; features = column sums of the
+        # 48-byte buffer reshaped (6, 8), L2-normalized, cast to float32.
+        "media_features": """
+            WITH base AS (
+                SELECT r,
+                       64 + (r * 37) % 960 AS w,
+                       64 + (r * 53) % 540 AS h,
+                       CASE WHEN r % 3 = 0 THEN 0
+                            ELSE 1000 + (r * 97) % 60000 END AS dur
+                FROM range(100) t(r)
+            ), bytes AS (
+                SELECT r,
+                       [84, 66, 83, 77,
+                        0, 0, w // 256, w % 256,
+                        0, 0, h // 256, h % 256,
+                        0, 0, dur // 256, dur % 256]
+                       || [(r * (i + 7)) % 256 for i in range(32)] AS b
+                FROM base
+            ), dims AS (
+                SELECT r,
+                       [b[j+1] + b[j+9] + b[j+17] + b[j+25] + b[j+33] + b[j+41]
+                        for j in range(8)] AS v
+                FROM bytes
+            ), normed AS (
+                SELECT r, v, sqrt(list_sum([CAST(x AS DOUBLE) * x for x in v])) AS nrm
+                FROM dims
+            )
+            SELECT CAST(r AS BIGINT) AS media_id,
+                   round(CAST(CAST(v[1] / nrm AS FLOAT) AS DOUBLE), 6) AS f0,
+                   round(CAST(CAST(v[2] / nrm AS FLOAT) AS DOUBLE), 6) AS f1,
+                   round(CAST(CAST(v[3] / nrm AS FLOAT) AS DOUBLE), 6) AS f2,
+                   round(CAST(CAST(v[4] / nrm AS FLOAT) AS DOUBLE), 6) AS f3,
+                   round(CAST(CAST(v[5] / nrm AS FLOAT) AS DOUBLE), 6) AS f4,
+                   round(CAST(CAST(v[6] / nrm AS FLOAT) AS DOUBLE), 6) AS f5,
+                   round(CAST(CAST(v[7] / nrm AS FLOAT) AS DOUBLE), 6) AS f6,
+                   round(CAST(CAST(v[8] / nrm AS FLOAT) AS DOUBLE), 6) AS f7
+            FROM normed ORDER BY media_id
+        """,
     }

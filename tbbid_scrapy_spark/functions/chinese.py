@@ -52,6 +52,27 @@ def chinese_to_arabic_py(s: str | None) -> int:
     return total
 
 
+_DIGIT_SIMPLE = ["零", "一", "二", "三", "四", "五", "六", "七", "八", "九"]
+_DIGIT_TRAD = ["零", "壹", "贰", "叁", "肆", "伍", "陆", "柒", "捌", "玖"]
+
+
+def arabic_to_chinese(n: int) -> str:
+    """Inverse generator for 1-99 (fixture/oracle side): renders n as a
+    Chinese numeral ``chinese_to_arabic_py`` must map back to n. Variant
+    coverage: traditional digits for odd n, '拾' instead of '十' when
+    n % 3 == 0 — so a round-trip query exercises the full character map,
+    both tens spellings, and every compound shape (十X, X十, X十Y)."""
+    assert 1 <= n <= 99
+    digits = _DIGIT_TRAD if n % 2 == 1 else _DIGIT_SIMPLE
+    ten = "拾" if n % 3 == 0 else "十"
+    tens, ones = divmod(n, 10)
+    if tens == 0:
+        return digits[ones]
+    head = "" if tens == 1 else digits[tens]
+    tail = digits[ones] if ones else ""
+    return head + ten + tail
+
+
 @F.pandas_udf(T.IntegerType())
 def chinese_to_arabic_pd(s: pd.Series) -> pd.Series:
     """Arrow-vectorized Chinese-numeral → int (F1)."""

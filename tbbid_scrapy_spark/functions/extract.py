@@ -44,9 +44,19 @@ def title_suffix_trim(title: Column) -> Column:
 
 
 def is_number(col: Column) -> Column:
-    """Safe float-castable test (F3, util.py:68-73). With ANSI off,
-    a failed cast yields NULL, matching try/except float()."""
-    return col.cast("double").isNotNull()
+    """Safe float-castable test (F3, util.py:68-73). ``try_cast`` yields
+    NULL on malformed input in EVERY session — matching try/except
+    float() — where a plain cast would throw under ANSI mode (the
+    driver harness runs its own ANSI-on session)."""
+    return col.try_cast("double").isNotNull()
+
+
+def to_number(col: Column) -> Column:
+    """Session-independent numeric parse: NULL on malformed input (the
+    value-producing twin of ``is_number`` — use it instead of
+    guard-then-cast, which still throws under ANSI because WHEN does not
+    short-circuit evaluation of the other branch's cast)."""
+    return col.try_cast("double")
 
 
 def extract_url_from_click(onclick: Column) -> Column:

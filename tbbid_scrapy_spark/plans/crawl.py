@@ -18,8 +18,10 @@ a driver-side loop over declarative DataFrame waves:
       6. children = resolve+canonicalize (Arrow UDF) → robots filter →
                     in-batch first-discovery dedup → seen-set dedup
                     (exact | bloom | hybrid) → dense seq → append pending
-      7. commit   = atomic snapshot of {frontier, seen, shards, log,
-                    extracted} → lossless resume point
+      7. commit   = per-wave DELTAS (settled rows, new seen, log,
+                    extracted, metrics) + live-pending snapshot, made
+                    visible by ONE atomic manifest flip → lossless resume
+                    point whose I/O is O(wave), not O(total state)
 
 Performance discipline: each wave materializes exactly two intermediates
 (the fetched batch and the new children — both needed by several
@@ -31,8 +33,6 @@ of frontier size, and every job is shuffle-parallel.
 
 from __future__ import annotations
 
-import json
-import os
 import time
 from dataclasses import dataclass, field
 
@@ -45,7 +45,9 @@ from tbbid_scrapy_spark.functions.urls import resolve_and_canonicalize_pd, with_
 from tbbid_scrapy_spark.operators import frontier as fops
 from tbbid_scrapy_spark.operators.bloom import BloomSpec, bloom_insert, bloom_test, empty_shards
 from tbbid_scrapy_spark.plans.seq import dense_index
-from tbbid_scrapy_spark.sources.sink import SnapshotTable
+from tbbid_scrapy_spark.sources.sink import Catalog, DeltaTable, SnapshotTable
+
+_DELTA_TABLES = ("done", "seen", "fetch_log", "extracted", "metrics")
 
 RETRY_LIMIT = 3
 RETRYABLE = [403, 500, 502, 503, 504, 522, 524, 408, 429]
@@ -130,14 +132,34 @@ def _priority_expr(kind_col):
     return expr
 
 
+def _union(parts: list[DataFrame]) -> DataFrame:
+    assert parts
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @dataclass
 class CrawlState:
-    """fetch_log/extracted are APPEND-ONLY: kept as per-wave delta frames
-    so a commit materializes only the wave's new rows (a single growing
-    frame would be rewritten wholly every wave — O(waves × total_rows))."""
+    """Frontier state partitioned for O(wave) commits at a 10^10-URL scale.
 
-    frontier: DataFrame
-    seen: DataFrame  # (url_hash, url_norm)
+    - ``pending``    : the LIVE frontier (state == 'pending' only) — the
+      single table a wave rewrites. Settled rows never ride through
+      another wave's join or commit.
+    - ``done_parts`` : APPEND-ONLY settled rows (fetched/failed), one
+      delta per wave — wave w commits |batch| rows, not |history|.
+    - ``seen_parts`` : APPEND-ONLY (url_hash, url_norm), one delta per
+      wave (the r1 design committed the full union every wave —
+      O(waves × total_state); the VERDICT's top scale-killer).
+    - fetch_log / extracted / metrics: append-only deltas as before.
+    - ``committed_parts``: per delta table, the part names already in the
+      checkpoint — a commit writes only parts beyond this list.
+    """
+
+    pending: DataFrame
+    done_parts: list[DataFrame]
+    seen_parts: list[DataFrame]
     shards: DataFrame | None
     fetch_log_parts: list[DataFrame]
     extracted_parts: list[DataFrame]
@@ -145,33 +167,32 @@ class CrawlState:
     metrics: list[dict] = field(default_factory=list)
     wave: int = 0
     next_seq: int = 0  # driver-tracked global enqueue counter
+    committed_parts: dict[str, list[str]] = field(default_factory=dict)
+
+    @property
+    def frontier(self) -> DataFrame:
+        """Full frontier view (live ∪ settled) — read-side compatibility;
+        the engine itself never joins against this union."""
+        return _union([self.pending, *self.done_parts])
+
+    @property
+    def seen(self) -> DataFrame:
+        return _union(self.seen_parts)
 
     @property
     def fetch_log(self) -> DataFrame:
-        assert self.fetch_log_parts
-        out = self.fetch_log_parts[0]
-        for p in self.fetch_log_parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return _union(self.fetch_log_parts)
 
     @property
     def extracted(self) -> DataFrame:
-        assert self.extracted_parts
-        out = self.extracted_parts[0]
-        for p in self.extracted_parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return _union(self.extracted_parts)
 
     @property
     def metrics_table(self) -> DataFrame:
         """Per-(wave, partition, host) fetch/parse metrics — the
         north-star's per-partition lineage companion (row-level lineage
         itself is the frontier's parent_id chain)."""
-        assert self.metrics_parts
-        out = self.metrics_parts[0]
-        for p in self.metrics_parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return _union(self.metrics_parts)
 
 
 class CrawlEngine:
@@ -193,13 +214,16 @@ class CrawlEngine:
         self.seeds = seeds
         self.politeness = politeness
         self.robots = robots
-        self._tables: dict[str, SnapshotTable] = {}
+        self._snapshots: dict[str, SnapshotTable] = {}
+        self._deltas: dict[str, DeltaTable] = {}
+        self._catalog: Catalog | None = None
         if self.config.checkpoint_dir:
-            for name in ["frontier", "seen", "shards", "fetch_log", "extracted",
-                         "metrics"]:
-                self._tables[name] = SnapshotTable(
-                    spark, f"{self.config.checkpoint_dir}/{name}"
-                )
+            ck = self.config.checkpoint_dir
+            self._catalog = Catalog(ck)
+            for name in ("pending", "shards"):
+                self._snapshots[name] = SnapshotTable(spark, f"{ck}/{name}")
+            for name in _DELTA_TABLES:
+                self._deltas[name] = DeltaTable(spark, f"{ck}/{name}")
 
     # -- state bootstrap ---------------------------------------------------
 
@@ -209,6 +233,16 @@ class CrawlEngine:
             [(u, i) for i, u in enumerate(self.seeds)], "url string, _ord int"
         )
         seeds_norm = with_url_norm(order)
+        # seeds go through the SAME enqueue-time checks as children
+        # (simulator enqueue: robots then seen/url_hash dedup, first
+        # occurrence wins; a disallowed seed never enters frontier or seen)
+        seeds_norm = fops.apply_robots_joined(seeds_norm, self.robots)
+        payload = [c for c in seeds_norm.columns if c not in ("url_hash", "_ord")]
+        seeds_norm = (
+            seeds_norm.groupBy("url_hash")
+            .agg(F.min(F.struct(F.col("_ord"), *[F.col(c) for c in payload])).alias("_f"))
+            .select("url_hash", "_f.*")
+        )
         f0, n_seeds, _h0 = dense_index(seeds_norm, [F.col("_ord")], "seq", 0)
         f0 = f0.withColumn("page_kind", _kind_expr(F.col("url_norm"))).select(
             "url",
@@ -233,83 +267,126 @@ class CrawlEngine:
         )
         if shards0 is not None:
             shards0 = bloom_insert(f0.select("url_hash"), shards0, self.config.bloom_spec)
+        done0 = spark.createDataFrame([], f0.schema)
         log0 = spark.createDataFrame([], FETCH_LOG_SCHEMA)
         ex0 = spark.createDataFrame([], EXTRACTED_SCHEMA)
         m0 = spark.createDataFrame([], METRICS_SCHEMA)
-        return CrawlState(f0, seen0, shards0, [log0], [ex0], [m0], [], 0, n_seeds)
+        return CrawlState(
+            pending=f0,
+            done_parts=[done0],
+            seen_parts=[seen0],
+            shards=shards0,
+            fetch_log_parts=[log0],
+            extracted_parts=[ex0],
+            metrics_parts=[m0],
+            metrics=[],
+            wave=0,
+            next_seq=n_seeds,
+        )
 
     # -- checkpoint / resume ------------------------------------------------
 
+    def _delta_parts(self, st: CrawlState) -> dict[str, list[DataFrame]]:
+        return {
+            "done": st.done_parts,
+            "seen": st.seen_parts,
+            "fetch_log": st.fetch_log_parts,
+            "extracted": st.extracted_parts,
+            "metrics": st.metrics_parts,
+        }
+
     def _commit(self, st: CrawlState) -> CrawlState:
-        """Materialize the wave (truncates lineage) and, when a checkpoint
-        dir is configured, atomically snapshot every state table."""
-        if self._tables:
-            self._tables["frontier"].commit(st.frontier)
-            self._tables["seen"].commit(st.seen)
+        """Materialize the wave (truncates lineage); with a checkpoint dir
+        configured, write the wave's DELTAS plus the live-pending snapshot
+        and flip ONE manifest atomically.
+
+        Commit I/O is O(wave): each append-only table writes only its new
+        part(s); the only rewritten tables are ``pending`` (the live set a
+        wave must touch anyway) and the fixed-size bloom ``shards``. A
+        crash anywhere before the manifest flip leaves the previous
+        manifest — and therefore a fully consistent multi-table snapshot —
+        as the resume point (no per-table pointer skew)."""
+        if self._catalog:
+            snaps = {"pending": self._snapshots["pending"].write_version(st.pending)}
             if st.shards is not None:
-                self._tables["shards"].commit(st.shards)
-            # append-only tables: snapshot-commit the union (cheap relative
-            # to frontier state because each part is already materialized),
-            # but only ONCE per wave and the parts stay delta-shaped
-            self._tables["fetch_log"].commit(st.fetch_log)
-            self._tables["extracted"].commit(st.extracted)
-            self._tables["metrics"].commit(st.metrics_table)
-            with open(f"{self.config.checkpoint_dir}/_WAVE", "w") as fh:
-                json.dump({"wave": st.wave, "next_seq": st.next_seq}, fh)
-            return CrawlState(
-                self._tables["frontier"].read(),
-                self._tables["seen"].read(),
-                self._tables["shards"].read() if st.shards is not None else None,
-                [self._tables["fetch_log"].read()],
-                [self._tables["extracted"].read()],
-                [self._tables["metrics"].read()],
-                st.metrics,
-                st.wave,
-                st.next_seq,
+                snaps["shards"] = self._snapshots["shards"].write_version(st.shards)
+            deltas: dict[str, list[str]] = {}
+            parts_by_name = self._delta_parts(st)
+            for name in _DELTA_TABLES:
+                names = list(st.committed_parts.get(name, []))
+                parts = parts_by_name[name]
+                # once anything is committed, parts[0] is the read-back of
+                # all committed parts; everything after it is new deltas.
+                # On the very first commit every part is new.
+                new = parts[1:] if names else parts
+                for i, p in enumerate(new):
+                    names.append(self._deltas[name].write_part(p, f"{st.wave:06d}-{i}"))
+                deltas[name] = names
+            self._catalog.commit(
+                {
+                    "wave": st.wave,
+                    "next_seq": st.next_seq,
+                    "snapshots": snaps,
+                    "deltas": deltas,
+                }
             )
-        # coalesce before checkpointing: the per-wave unions would
-        # otherwise accumulate partitions linearly in wave count, making
-        # every later job pay task overhead for hundreds of slivers
+            return self._load(st.metrics)
+        # no checkpoint dir: localCheckpoint to truncate lineage. Coalesce
+        # first — per-wave unions would otherwise accumulate partitions
+        # linearly in wave count. Only the NEWEST delta of each append-only
+        # table needs materializing; older parts were checkpointed already.
         n = self.config.num_partitions or self.spark.sparkContext.defaultParallelism
-        # only the NEWEST delta of the append-only tables needs
-        # materializing; older parts were checkpointed in earlier waves
-        log_parts = list(st.fetch_log_parts)
-        ex_parts = list(st.extracted_parts)
-        m_parts = list(st.metrics_parts)
-        if log_parts:
-            log_parts[-1] = log_parts[-1].coalesce(n).localCheckpoint()
-        if ex_parts:
-            ex_parts[-1] = ex_parts[-1].coalesce(n).localCheckpoint()
-        if m_parts:
-            m_parts[-1] = m_parts[-1].coalesce(1).localCheckpoint()
+
+        def _ckpt_last(parts: list[DataFrame], nparts: int) -> list[DataFrame]:
+            out = list(parts)
+            if out:
+                out[-1] = out[-1].coalesce(nparts).localCheckpoint()
+            return out
+
         return CrawlState(
-            st.frontier.coalesce(n).localCheckpoint(),
-            st.seen.coalesce(n).localCheckpoint(),
-            st.shards.localCheckpoint() if st.shards is not None else None,
-            log_parts,
-            ex_parts,
-            m_parts,
-            st.metrics,
-            st.wave,
-            st.next_seq,
+            pending=st.pending.coalesce(n).localCheckpoint(),
+            done_parts=_ckpt_last(st.done_parts, n),
+            seen_parts=_ckpt_last(st.seen_parts, n),
+            shards=st.shards.localCheckpoint() if st.shards is not None else None,
+            fetch_log_parts=_ckpt_last(st.fetch_log_parts, n),
+            extracted_parts=_ckpt_last(st.extracted_parts, n),
+            metrics_parts=_ckpt_last(st.metrics_parts, 1),
+            metrics=st.metrics,
+            wave=st.wave,
+            next_seq=st.next_seq,
+        )
+
+    def _load(self, metrics: list[dict] | None = None) -> CrawlState:
+        """State from the current manifest: every delta table becomes ONE
+        multi-path scan over its committed parts."""
+        manifest = self._catalog.read()
+        assert manifest is not None, "no committed manifest to load"
+        snaps, deltas = manifest["snapshots"], manifest["deltas"]
+        parts = {
+            name: [self._deltas[name].read(deltas[name])] for name in _DELTA_TABLES
+        }
+        return CrawlState(
+            pending=self._snapshots["pending"].read_version(snaps["pending"]),
+            done_parts=parts["done"],
+            seen_parts=parts["seen"],
+            shards=(
+                self._snapshots["shards"].read_version(snaps["shards"])
+                if "shards" in snaps
+                else None
+            ),
+            fetch_log_parts=parts["fetch_log"],
+            extracted_parts=parts["extracted"],
+            metrics_parts=parts["metrics"],
+            metrics=metrics or [],
+            wave=manifest["wave"],
+            next_seq=manifest["next_seq"],
+            committed_parts={k: list(v) for k, v in deltas.items()},
         )
 
     def resume(self) -> CrawlState:
-        """Rebuild state from the latest committed snapshot."""
-        assert self._tables, "resume requires a checkpoint_dir"
-        with open(f"{self.config.checkpoint_dir}/_WAVE") as fh:
-            meta = json.load(fh)
-        return CrawlState(
-            self._tables["frontier"].read(),
-            self._tables["seen"].read(),
-            self._tables["shards"].read() if self._tables["shards"].exists() else None,
-            [self._tables["fetch_log"].read()],
-            [self._tables["extracted"].read()],
-            [self._tables["metrics"].read()],
-            [],
-            meta["wave"],
-            meta["next_seq"],
-        )
+        """Rebuild state from the latest committed manifest."""
+        assert self._catalog, "resume requires a checkpoint_dir"
+        return self._load()
 
     # -- one wave ------------------------------------------------------------
 
@@ -325,7 +402,9 @@ class CrawlEngine:
                 now = time.monotonic()
                 print(f"# wave {w} {label}: {now - _t[0]:.2f}s", flush=True)
                 _t[0] = now
-        pending = st.frontier.filter(F.col("state") == "pending")
+        # st.pending IS the live frontier — no state filter, no settled rows
+        # in any wave join
+        pending = st.pending
         ranked = fops.politeness_rank(pending, self.politeness, cfg.default_budget)
         # global fetch order; distributed dense index (no single-task window)
         batch, n_batch, h_batch = dense_index(
@@ -497,13 +576,35 @@ class CrawlEngine:
         # enqueue keys over the deduped children; the frame is persisted so
         # shards/frontier/seen below reuse one materialization
         if cfg.seq_mode == "packed":
+            # documented packed-key bounds are ENFORCED, not assumed: a
+            # silent overflow would corrupt enqueue order and politeness
+            # scheduling with no error (ADVICE r1). n_batch bounds
+            # parent_pos; the span-offset bound rides the same count job.
+            if w + 1 > 32766:
+                raise OverflowError(
+                    f"seq_mode='packed' supports ≤32766 waves (at wave {w + 1}); "
+                    "use seq_mode='dense'"
+                )
+            if n_batch >= 1 << 30:
+                raise OverflowError(
+                    f"seq_mode='packed' supports <2^30 fetches/wave (got {n_batch}); "
+                    "use seq_mode='dense'"
+                )
             children = children.withColumn(
                 "seq",
                 (F.lit(w + 1).cast("long") * F.lit(1 << 47).cast("long"))
                 + (F.col("parent_pos").cast("long") * F.lit(1 << 17).cast("long"))
                 + (F.col("eff_pos").cast("long") + F.lit(1 << 16).cast("long")),
             ).persist()
-            n_new = children.count()
+            stats = children.agg(
+                F.count("*").alias("n"), F.max(F.abs("eff_pos")).alias("max_off")
+            ).collect()[0]
+            n_new = stats["n"]
+            if stats["max_off"] is not None and stats["max_off"] >= 1 << 16:
+                raise OverflowError(
+                    f"seq_mode='packed' supports <2^16 spans/page (got offset "
+                    f"{stats['max_off']}); use seq_mode='dense'"
+                )
             h_children = children
         else:
             children, n_new, h_children = dense_index(
@@ -536,46 +637,48 @@ class CrawlEngine:
             "seq",
         )
 
-        # ---- frontier state transitions for the fetched batch ----
-        outcome = fetched.select(
-            "url_hash",
-            F.col("status").alias("_st"),
+        # ---- frontier state transitions: ONLY the fetched batch moves ----
+        # The batch rows (already carrying every frontier column) fork into
+        # a settled delta (append-only) and retry rows that re-enter the
+        # live set; untouched pending rows pass through one anti-join on
+        # the (small) batch keys. No join ever sees settled history — this
+        # is what makes wave cost O(live + batch), not O(everything ever).
+        front_cols = st.pending.columns
+        batch_after = fetched.select(
+            *[c for c in front_cols if c not in ("state", "attempts", "last_status")],
             F.when(F.col("status") == 200, "fetched")
             .when(F.col("status") == 404, "failed")
             .when(F.col("attempts") + 1 >= F.lit(RETRY_LIMIT), "failed")
             .otherwise("pending")
-            .alias("_new_state"),
+            .alias("state"),
             F.when(F.col("status").isin(RETRYABLE), F.col("attempts") + 1)
             .otherwise(F.col("attempts"))
-            .alias("_new_attempts"),
+            .alias("attempts"),
+            F.col("status").alias("last_status"),
+        ).select(*front_cols)
+        done_add = batch_after.filter(F.col("state") != "pending")
+        retries = batch_after.filter(F.col("state") == "pending")
+        new_pending = (
+            st.pending.join(batch.select("url_hash"), "url_hash", "left_anti")
+            .select(*front_cols)
+            .unionByName(retries)
+            .unionByName(f_add.select(*front_cols))
         )
-        new_frontier = (
-            st.frontier.join(outcome, "url_hash", "left")
-            .select(
-                *[
-                    c
-                    for c in st.frontier.columns
-                    if c not in ("state", "attempts", "last_status")
-                ],
-                F.coalesce(F.col("_new_state"), F.col("state")).alias("state"),
-                F.coalesce(F.col("_new_attempts"), F.col("attempts")).alias("attempts"),
-                F.coalesce(F.col("_st"), F.col("last_status")).alias("last_status"),
-            )
-            .unionByName(f_add)
-        )
-        new_seen = st.seen.unionByName(children.select("url_hash", "url_norm"))
+        seen_add = children.select("url_hash", "url_norm")
 
         committed = self._commit(
             CrawlState(
-                new_frontier,
-                new_seen,
-                new_shards,
-                st.fetch_log_parts + [log_add],
-                st.extracted_parts + [ex_add],
-                st.metrics_parts + [m_add],
-                st.metrics,
-                w + 1,
-                st.next_seq + n_new,
+                pending=new_pending,
+                done_parts=st.done_parts + [done_add],
+                seen_parts=st.seen_parts + [seen_add],
+                shards=new_shards,
+                fetch_log_parts=st.fetch_log_parts + [log_add],
+                extracted_parts=st.extracted_parts + [ex_add],
+                metrics_parts=st.metrics_parts + [m_add],
+                metrics=st.metrics,
+                wave=w + 1,
+                next_seq=st.next_seq + n_new,
+                committed_parts=st.committed_parts,
             )
         )
         _tick("commit")
@@ -593,7 +696,7 @@ class CrawlEngine:
         for h in (h_batch, h_children):
             if h is not None:
                 h.unpersist()
-        for old in (st.frontier, st.seen, st.shards):
+        for old in (st.pending, *st.seen_parts, st.shards):
             if old is not None:
                 try:
                     old.unpersist()

@@ -35,6 +35,7 @@ from tbbid_scrapy_spark.functions.extract import (
     extract_funding_source,
     extract_profession_and_level,
     is_number,
+    to_number,
     split_colon_field,
     title_suffix_trim,
 )
@@ -149,7 +150,7 @@ def bid_items(extracted: DataFrame) -> DataFrame:
         _pid_from_url(F.col("doc_id"), "/bids/").alias("project_id"),
         F.lit("001").alias("section_id"),
         F.col("bidder_name"),
-        F.when(is_number(F.col("amount_raw")), F.col("amount_raw").cast("double")).alias("bid_amount"),
+        to_number(F.col("amount_raw")).alias("bid_amount"),
         F.col("pair").alias("bid_pos"),
     )
 
@@ -174,7 +175,7 @@ def lot_control_amounts(extracted: DataFrame) -> DataFrame:
     return first.select(
         _pid_from_url(F.col("doc_id"), "/bids/").alias("project_id"),
         F.lit("001").alias("section_id"),
-        F.col("text").cast("double").alias("lot_ctl_amt"),
+        to_number(F.col("text")).alias("lot_ctl_amt"),
     )
 
 
@@ -205,7 +206,7 @@ def candidate_ranks(extracted: DataFrame) -> DataFrame:
         F.col("bidder_name"),
         F.lit(1).alias("rank"),
         F.col("manager_name"),
-        F.when(is_number(F.col("amount_raw")), F.col("amount_raw").cast("double")).alias("win_amt"),
+        to_number(F.col("amount_raw")).alias("win_amt"),
     )
 
 

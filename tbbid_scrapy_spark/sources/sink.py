@@ -81,6 +81,90 @@ class SnapshotTable:
             f.write(str(v))
         os.replace(tmp, self._pointer)
 
+    # -- manifest-coordinated mode (multi-table atomic commits) -------------
+    # write_version/read_version do NOT touch the _LATEST pointer: a
+    # higher-level Catalog manifest records which version of EVERY table
+    # belongs to a consistent snapshot and flips once (ADVICE: per-table
+    # pointer flips let a crash leave e.g. new-frontier + old-seen live).
+
+    def _max_version(self) -> int:
+        vs = [
+            int(d[1:]) for d in os.listdir(self.root)
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+        return max(vs, default=0)
+
+    def write_version(self, df: DataFrame) -> int:
+        """Write df as a new immutable version directory WITHOUT flipping
+        the pointer; returns the version for a Catalog manifest. Orphan
+        versions from a crash before the manifest flip are unreferenced
+        and harmless."""
+        v = self._max_version() + 1
+        df.write.mode("overwrite").parquet(self._version_dir(v))
+        return v
+
+    def read_version(self, v: int) -> DataFrame:
+        return self.spark.read.parquet(self._version_dir(v))
+
+
+class DeltaTable:
+    """Append-only table as immutable per-wave part directories.
+
+    A commit writes ONLY the new part (O(wave delta), never O(total
+    history) — the fix for the r1 full-union rewrite); which parts belong
+    to a consistent snapshot is the Catalog manifest's job. Reading all
+    committed parts is ONE multi-path parquet scan (a single source node,
+    not a union of per-part plans)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def part_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def write_part(self, df: DataFrame, label: str) -> str:
+        name = f"part-{label}"
+        df.write.mode("overwrite").parquet(self.part_dir(name))
+        return name
+
+    def read(self, names: list[str]) -> DataFrame:
+        assert names, f"no committed parts in {self.root}"
+        return self.spark.read.parquet(*[self.part_dir(n) for n in names])
+
+
+class Catalog:
+    """Atomic multi-table snapshot manifest: ONE os.replace covers every
+    table's version / part list plus scalar state (wave, next_seq), so a
+    crash anywhere in a commit leaves the previous manifest — and only
+    fully consistent state — readable."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _path(self) -> str:
+        return os.path.join(self.root, "_MANIFEST")
+
+    def read(self) -> dict | None:
+        import json
+
+        try:
+            with open(self._path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def commit(self, manifest: dict) -> None:
+        import json
+
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_MANIFEST_tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._path)
+
 
 MatchedExpr = Callable[[str], Column]
 # signature: column_name -> merged Column; inside, reference t (target) and

@@ -78,7 +78,7 @@ def test_minhash_estimate_tracks_exact(spark, corpus):
     est = {
         (r.id_a, r.id_b): r.jaccard_est
         for r in dedup.minhash_lsh_pairs(
-            corpus, n=3, num_hashes=32, bands=8, threshold=0.3
+            corpus, n=3, num_hashes=32, bands=8, threshold=0.3, verify="est"
         ).collect()
     }
     both = set(exact) & set(est)
@@ -139,3 +139,128 @@ def test_pairs_above_exact_vs_lsh(spark):
         for r in similarity.pairs_above(emb, threshold=0.9, n_planes=4).collect()
     }
     assert lsh <= exact  # LSH candidates re-scored exactly → no false pairs
+
+
+# ---------------------------------------------------------------------------
+# candidate-generate + exact-verify (round 2): the minhash_lsh / simhash
+# driver queries emit candidates re-scored by TRUE n-gram Jaccard, so the
+# exact all-pairs SQL is their oracle IFF candidate recall is total on the
+# driver fixtures. These tests pin exactly that claim.
+# ---------------------------------------------------------------------------
+
+def _brute_jaccard(rows, n=3):
+    """Driver-independent ground truth: python set Jaccard on word n-grams."""
+    import itertools
+
+    def sh(text):
+        toks = " ".join(text.lower().split()).split(" ")
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    sets_ = {r.doc_id: sh(r.text) for r in rows}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets_), 2):
+        sa, sb = sets_[a], sets_[b]
+        if sa or sb:
+            out[(a, b)] = len(sa & sb) / len(sa | sb)
+    return out
+
+
+def test_verify_pairs_jaccard_matches_definition(spark, corpus):
+    truth = _brute_jaccard(corpus.collect())
+    cand = dedup.shingle_candidates(corpus, n=3, max_shingle_df=None)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.verify_pairs_jaccard(corpus, cand, n=3).collect()
+    }
+    for k, v in got.items():
+        assert abs(truth[k] - v) < 1e-12, (k, truth[k], v)
+    # every nonzero-overlap pair is a candidate when the cap is off
+    assert set(got) == {k for k, v in truth.items() if v > 0}
+
+
+def test_shingle_df_cap_drops_boilerplate_only_pairs(spark):
+    # two docs overlapping ONLY via a shingle shared by everyone
+    rows = [(i, f"common boiler plate unique{i} tail{i} end{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.shingle_candidates(df, n=3, max_shingle_df=None).count()
+    capped = dedup.shingle_candidates(df, n=3, max_shingle_df=3).count()
+    assert uncapped == 15 and capped == 0
+    stats = dedup.stop_shingle_stats(df, n=3, max_shingle_df=3).collect()[0]
+    assert stats.shingles_dropped == 1 and stats.rows_dropped == 6
+
+
+@pytest.fixture(scope="module")
+def driver_docs(spark):
+    import os
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    return spark.read.parquet(path)
+
+
+def test_candidate_recall_total_on_driver_fixture(spark, driver_docs):
+    """Oracle-validity pin: every exact pair ≥ 0.5 must be an LSH candidate
+    for BOTH approximate methods at the shipped parameters (xxhash64 is
+    seed-stable, so green here is green at driver time)."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(driver_docs, n=3, threshold=0.5).collect()
+    }
+    assert exact, "fixture lost its planted near-dups?"
+    mh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(
+            driver_docs, n=3, num_hashes=32, bands=8
+        ).collect()
+    }
+    sh = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_rotated_band_candidates(
+            dedup.simhash_shingle(driver_docs, n=3)
+        ).collect()
+    }
+    assert exact <= mh, f"minhash bands missed {exact - mh}"
+    assert exact <= sh, f"simhash bands missed {exact - sh}"
+
+
+def test_verified_entry_queries_equal_exact(spark, driver_docs):
+    exact = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in dedup.ngram_jaccard_pairs(driver_docs, n=3, threshold=0.5).collect()
+    }
+    mh = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in dedup.minhash_lsh_pairs(
+            driver_docs, n=3, num_hashes=32, bands=8, threshold=0.5, verify="exact"
+        ).collect()
+    }
+    sv = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in dedup.simhash_verified_pairs(
+            driver_docs, n=3, threshold=0.5
+        ).collect()
+    }
+    assert mh == exact
+    assert sv == exact
+
+
+def test_embedding_near_dup_lsh_equals_exact_on_driver_fixture(spark):
+    """Oracle-validity pin for q_embedding_near_dup: the LSH-bucket default
+    must return exactly the exact-join pair set at τ=0.95 on the driver
+    fixture (hyperplanes are xxhash64-seeded → deterministic)."""
+    import os
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(path)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.pairs_above(emb, threshold=0.95, exact=True).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in similarity.pairs_above(emb, threshold=0.95).collect()
+    }
+    assert lsh == exact
