@@ -24,11 +24,13 @@ Design
   numpy bit ops inside — no per-row Python.
 
 False-positive caveat: a bloom FP silently drops a never-seen URL. The
-crawl loop therefore supports three modes (plans/crawl.py): 'exact'
+crawl loop therefore supports four modes (plans/crawl.py): 'exact'
 (anti-join against the seen table — reference-parity default), 'bloom'
-(pure bloom, scale path), and 'hybrid' (bloom prefilter, exact anti-join
+(pure bloom, scale path), 'hybrid' (bloom prefilter, exact anti-join
 on survivors only — at scale the prefilter removes ~all duplicates so the
-exact join touches a tiny remainder; zero false drops).
+exact join touches a tiny remainder; zero false drops), and 'cuckoo'
+(operators/cuckoo.py — same sharded interface and FP-only guarantees,
+plus DELETION for retry re-admission, which a bloom cannot do).
 """
 
 from __future__ import annotations

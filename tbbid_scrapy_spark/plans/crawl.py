@@ -17,7 +17,8 @@ a driver-side loop over declarative DataFrame waves:
                     REVERSE span order — bid_info.py:90) become children
       6. children = resolve+canonicalize (Arrow UDF) → robots filter →
                     in-batch first-discovery dedup → seen-set dedup
-                    (exact | bloom | hybrid) → dense seq → append pending
+                    (exact | bloom | hybrid | cuckoo) → dense seq →
+                    append pending
       7. commit   = per-wave DELTAS (settled rows, new seen, log,
                     extracted, metrics) + live-pending snapshot, made
                     visible by ONE atomic manifest flip → lossless resume
@@ -44,6 +45,12 @@ from tbbid_scrapy_spark.fixtures.sitegen import PRIORITY_BY_KIND
 from tbbid_scrapy_spark.functions.urls import resolve_and_canonicalize_pd, with_url_norm
 from tbbid_scrapy_spark.operators import frontier as fops
 from tbbid_scrapy_spark.operators.bloom import BloomSpec, bloom_insert, bloom_test, empty_shards
+from tbbid_scrapy_spark.operators.cuckoo import (
+    CuckooSpec,
+    cuckoo_insert,
+    cuckoo_test,
+    empty_cuckoo_shards,
+)
 from tbbid_scrapy_spark.plans.seq import dense_index
 from tbbid_scrapy_spark.sources.sink import Catalog, DeltaTable, SnapshotTable
 
@@ -90,11 +97,20 @@ EXTRACTED_SCHEMA = T.StructType(
 class CrawlConfig:
     max_waves: int = 100
     default_budget: int = 4  # CONCURRENT_REQUESTS_PER_DOMAIN, settings.py:29
-    seen_mode: str = "exact"  # exact | bloom | hybrid
+    # exact | bloom | hybrid | cuckoo — cuckoo is the DELETABLE
+    # approximate seen-set (same FP-only guarantees as bloom, plus
+    # cuckoo_delete for retry re-admission / un-seeing)
+    seen_mode: str = "exact"
     bloom_spec: BloomSpec | None = None
+    cuckoo_spec: CuckooSpec | None = None
     checkpoint_dir: str | None = None
     salt_buckets: int = 64
     num_partitions: int | None = None
+    # fetch_mode 'join': sandbox fetch = equi-join against the synthetic
+    # site table. 'mapinpandas': the batch-transport operator
+    # (operators/fetch.py) — identical row contract; parity-tested with
+    # the synthetic transport, deployable with HttpTransport.
+    fetch_mode: str = "join"
     # seq_mode 'packed': children enqueue keys are computed per-row as
     # (wave+1)<<47 | parent_pos<<17 | (eff_pos + 2^16) — order-isomorphic
     # to the simulator's dense counter (scheduling only ever compares seq,
@@ -207,6 +223,7 @@ class CrawlEngine:
         politeness: DataFrame,
         robots: DataFrame,
         config: CrawlConfig | None = None,
+        transport=None,
     ):
         self.spark = spark
         self.config = config or CrawlConfig()
@@ -214,6 +231,7 @@ class CrawlEngine:
         self.seeds = seeds
         self.politeness = politeness
         self.robots = robots
+        self._transport_obj = transport
         self._snapshots: dict[str, SnapshotTable] = {}
         self._deltas: dict[str, DeltaTable] = {}
         self._catalog: Catalog | None = None
@@ -224,6 +242,22 @@ class CrawlEngine:
                 self._snapshots[name] = SnapshotTable(spark, f"{ck}/{name}")
             for name in _DELTA_TABLES:
                 self._deltas[name] = DeltaTable(spark, f"{ck}/{name}")
+
+    def _transport(self):
+        """Transport for fetch_mode='mapinpandas'. Defaults to the
+        synthetic transport over the fixture site (fixture-scale only —
+        the page map rides the task closure); pass transport= (e.g.
+        HttpTransport) for real fetching."""
+        if self._transport_obj is None:
+            from tbbid_scrapy_spark.operators.fetch import (
+                SyntheticTransport,
+                site_to_transport_pages,
+            )
+
+            self._transport_obj = SyntheticTransport(
+                site_to_transport_pages(self.site.collect())
+            )
+        return self._transport_obj
 
     # -- state bootstrap ---------------------------------------------------
 
@@ -260,13 +294,19 @@ class CrawlEngine:
             "seq",
         )
         seen0 = f0.select("url_hash", "url_norm")
-        shards0 = (
-            empty_shards(spark, self.config.bloom_spec)
-            if self.config.seen_mode in ("bloom", "hybrid")
-            else None
-        )
-        if shards0 is not None:
-            shards0 = bloom_insert(f0.select("url_hash"), shards0, self.config.bloom_spec)
+        shards0 = None
+        if self.config.seen_mode in ("bloom", "hybrid"):
+            shards0 = bloom_insert(
+                f0.select("url_hash"),
+                empty_shards(spark, self.config.bloom_spec),
+                self.config.bloom_spec,
+            )
+        elif self.config.seen_mode == "cuckoo":
+            shards0 = cuckoo_insert(
+                f0.select("url_hash"),
+                empty_cuckoo_shards(spark, self.config.cuckoo_spec),
+                self.config.cuckoo_spec,
+            )
         done0 = spark.createDataFrame([], f0.schema)
         log0 = spark.createDataFrame([], FETCH_LOG_SCHEMA)
         ex0 = spark.createDataFrame([], EXTRACTED_SCHEMA)
@@ -423,23 +463,37 @@ class CrawlEngine:
         # fetch/parse stage (salted_repartition remains available for
         # host-affine stages like real connection-pooled HTTP fetching).
 
-        # fetch = equi-join on canonical URL (site side: doc_id IS canonical)
-        site = self.site.select(
-            F.col("doc_id"),
-            F.col("page_kind").alias("_doc_kind"),
-            F.col("spans"),
-            F.col("fail_first"),
-        )
-        fetched = (
-            batch.join(site, batch.url_norm == site.doc_id, "left")
-            .withColumn(
-                "status",
-                F.when(F.col("doc_id").isNull(), F.lit(404))
-                .when(F.col("attempts") < F.col("fail_first"), F.lit(503))
-                .otherwise(F.lit(200)),
+        if cfg.fetch_mode == "mapinpandas":
+            # batch-transport fetch (operators/fetch.py): one transport
+            # attempt per row in Arrow batches, JVM-side body parse —
+            # the same (status, _doc_kind, spans) contract as the join
+            from tbbid_scrapy_spark.operators.fetch import (
+                fetch_map_in_pandas,
+                parse_fetched_body,
             )
-            .persist()
-        )
+
+            fetched = parse_fetched_body(
+                fetch_map_in_pandas(batch, self._transport())
+            ).persist()
+        else:
+            # sandbox fetch = equi-join on canonical URL (site side:
+            # doc_id IS canonical)
+            site = self.site.select(
+                F.col("doc_id"),
+                F.col("page_kind").alias("_doc_kind"),
+                F.col("spans"),
+                F.col("fail_first"),
+            )
+            fetched = (
+                batch.join(site, batch.url_norm == site.doc_id, "left")
+                .withColumn(
+                    "status",
+                    F.when(F.col("doc_id").isNull(), F.lit(404))
+                    .when(F.col("attempts") < F.col("fail_first"), F.lit(503))
+                    .otherwise(F.lit(200)),
+                )
+                .persist()
+            )
 
         log_add = fetched.select(
             F.lit(w).alias("wave"), "fetch_pos", "url_norm", "status"
@@ -552,10 +606,13 @@ class CrawlEngine:
             children = children.join(
                 st.seen.select("url_hash"), "url_hash", "left_anti"
             )
-        elif cfg.seen_mode == "bloom":
-            verdicts = bloom_test(
-                children.select("url_hash"), st.shards, cfg.bloom_spec
+        elif cfg.seen_mode in ("bloom", "cuckoo"):
+            test_fn, spec = (
+                (bloom_test, cfg.bloom_spec)
+                if cfg.seen_mode == "bloom"
+                else (cuckoo_test, cfg.cuckoo_spec)
             )
+            verdicts = test_fn(children.select("url_hash"), st.shards, spec)
             children = children.join(
                 verdicts.filter(~F.col("maybe_seen")).select("url_hash"),
                 "url_hash", "left_semi",
@@ -617,9 +674,14 @@ class CrawlEngine:
         _tick("children seq")
         new_shards = st.shards
         if st.shards is not None:
-            new_shards = bloom_insert(
-                children.select("url_hash"), st.shards, cfg.bloom_spec
-            )
+            if cfg.seen_mode == "cuckoo":
+                new_shards = cuckoo_insert(
+                    children.select("url_hash"), st.shards, cfg.cuckoo_spec
+                )
+            else:
+                new_shards = bloom_insert(
+                    children.select("url_hash"), st.shards, cfg.bloom_spec
+                )
 
         f_add = children.withColumn("page_kind", _kind_expr(F.col("url_norm"))).select(
             F.col("child_url").alias("url"),

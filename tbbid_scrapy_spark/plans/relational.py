@@ -46,6 +46,74 @@ BID_COLS = ["project_id", "section_id", "bidder_name", "bid_amount"]
 RANK_COLS = ["project_id", "section_id", "bidder_name", "rank", "manager_name", "win_amt"]
 
 
+# Natural keys + matched-update SQL for every sink table — the single
+# source for the Iceberg MERGE INTO surface (sources/sink.py to_merge_sql;
+# reference upsert semantics bidSaver.py:61-395, CompanyEmployee.py:28-188,
+# winner_bid.py:20-67, models/models.py:51-90). '_keep_existing' marks
+# coalesce(s.c, t.c) matched behavior (NULL on re-sight keeps the old
+# value, like the reference only writing parsed fields).
+_KEEP = "coalesce(s.{c}, t.{c})"
+COMPANY_COLS = [
+    "corp_code", "name", "corp", "corp_asset", "reg_address", "valid_date",
+    "qualifications", "others", "bid_count",
+]
+EMPLOYEE_COLS = [
+    "merge_key", "corp_code", "name", "cert_code", "role", "valid_date",
+    "major", "birth_date_raw", "id_number", "person_id",
+]
+PERF_COLS = [
+    "name", "corp_code", "corp_name", "project_name", "data_level", "role",
+    "record_id", "company_id",
+]
+WINNER_COLS = [
+    "corp_code", "project_name", "bidder_name", "area_code", "win_amt",
+    "create_time", "tender_org_name", "tos", "city_name",
+]
+
+MERGE_SPECS: dict[str, dict] = {
+    "project": {
+        "keys": ["project_id"],
+        "cols": PROJECT_COLS,
+        "on_matched_sql": {
+            c: _KEEP.format(c=c) for c in PROJECT_COLS if c != "project_id"
+        },
+    },
+    "bid_section": {
+        "keys": ["project_id", "section_id"],
+        "cols": SECTION_COLS,
+        "on_matched_sql": {c: _KEEP.format(c=c) for c in SECTION_COLS[2:]},
+    },
+    "bid": {"keys": ["project_id", "section_id", "bidder_name"], "cols": BID_COLS},
+    "bid_rank": {"keys": ["project_id", "section_id", "rank"], "cols": RANK_COLS},
+    "company": {
+        "keys": ["corp_code"],
+        "cols": COMPANY_COLS,
+        "on_matched_sql": {
+            "bid_count": "coalesce(t.bid_count, 0) + coalesce(s.bid_count, 0)"
+        },
+    },
+    "employee": {"keys": ["merge_key"], "cols": EMPLOYEE_COLS},
+    "person_performance": {
+        "keys": ["name", "corp_code", "project_name", "role"],
+        "cols": PERF_COLS,
+    },
+    "winner_bid": {"keys": ["corp_code", "project_name"], "cols": WINNER_COLS},
+}
+
+
+def merge_sql_for(table: str, catalog_table: str | None = None) -> str:
+    """MERGE INTO statement for one of the 8 sink tables."""
+    from tbbid_scrapy_spark.sources.sink import to_merge_sql
+
+    spec = MERGE_SPECS[table]
+    return to_merge_sql(
+        catalog_table or table,
+        spec["keys"],
+        spec["cols"],
+        spec.get("on_matched_sql"),
+    )
+
+
 def empty_tables(spark: SparkSession) -> dict[str, DataFrame]:
     return {
         "project": spark.createDataFrame(

@@ -166,6 +166,43 @@ class Catalog:
         os.replace(tmp, self._path)
 
 
+def to_merge_sql(
+    table: str,
+    keys: list[str],
+    cols: list[str],
+    on_matched_sql: dict[str, str] | None = None,
+    source: str = "_incoming",
+) -> str:
+    """The Iceberg/Delta ``MERGE INTO`` statement with the exact
+    semantics ``merge_upsert`` emulates on parquet — the plan-A sink
+    interface the north-star names (reference upsert semantics:
+    bidSaver.py:37-395, models/models.py:51-90). On a cluster with a v2
+    catalog the call site is ``spark.sql(to_merge_sql(...))`` against a
+    temp view ``source``; in this sandbox SnapshotTable executes the same
+    semantics and this generator is syntax-pinned in tests via Spark's
+    SQL parser.
+
+    ``on_matched_sql`` gives per-column UPDATE expressions over aliases
+    ``t`` (target) / ``s`` (source) — e.g. counter accumulation
+    ``coalesce(t.bid_count,0)+coalesce(s.bid_count,0)``; unlisted columns
+    take the source value (full-row update-else-insert, like the
+    reference's query-before-write upsert)."""
+    on_matched_sql = on_matched_sql or {}
+    data_cols = [c for c in cols if c not in keys]
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    sets = ", ".join(
+        f"t.{c} = {on_matched_sql.get(c, f's.{c}')}" for c in data_cols
+    )
+    col_list = ", ".join(cols)
+    val_list = ", ".join(f"s.{c}" for c in cols)
+    update = f"WHEN MATCHED THEN UPDATE SET {sets} " if data_cols else ""
+    return (
+        f"MERGE INTO {table} t USING {source} s ON {on} "
+        f"{update}"
+        f"WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({val_list})"
+    )
+
+
 MatchedExpr = Callable[[str], Column]
 # signature: column_name -> merged Column; inside, reference t (target) and
 # s (source) sides via F.col("t." + name) / F.col("s." + name).
