@@ -44,8 +44,12 @@ HEADLINE = [
 # Env-tunable: bench_scaling.py raises the width so compute dominates the
 # fixed per-wave cost when comparing parallelism levels.
 FRONTIER_LISTING_PAGES = int(os.environ.get("SPARK_GRAFT_FRONTIER_LISTINGS", "4"))
+# 3000 projects/listing → ~44k pages, ~6k URLs/wave: wide enough that the
+# measurement is engine throughput, not the ~1 s/wave scheduling floor
+# (at 400 the 6-wave loop was >80% fixed cost — not what 10^10-URL waves
+# look like; BASELINE.md quantifies the width→throughput amortization)
 FRONTIER_PROJECTS_PER_LISTING = int(
-    os.environ.get("SPARK_GRAFT_FRONTIER_PROJECTS", "400")
+    os.environ.get("SPARK_GRAFT_FRONTIER_PROJECTS", "3000")
 )
 FRONTIER_BUDGET = 10**6
 
@@ -197,6 +201,26 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    # two-cluster-size scaling evidence (north_rule: efficiency ≥0.8 from
+    # N to 4N executors) — separate JVMs at local[N] / local[4N] plus the
+    # map/shuffle stage decomposition, embedded in the bench JSON itself.
+    # SPARK_GRAFT_SCALING=0 skips (e.g. quick local iterations).
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        import bench_scaling
+
+        lo, hi = (
+            int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CPUS", "8,32").split(",")
+        )
+        try:
+            scaling = bench_scaling.measure(
+                lo, hi, "wave",
+                repeats=int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2")),
+            )
+            print(f"# scaling: {scaling}", file=sys.stderr)
+        except Exception as e:  # never let the evidence section kill the bench
+            scaling = {"error": str(e)[:500]}
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
         sf_val = float(sf)
@@ -210,6 +234,7 @@ def main() -> None:
         "sf": sf_val,
         "frontier": frontier,
         "wave": wave,
+        "scaling": scaling,
         "cpus": CPUS,
     }
     print(json.dumps(result))
