@@ -209,9 +209,16 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         import bench_scaling
 
+        # default levels 2→8: the multi-executor regime (real executors run
+        # 4-8 cores each — scaling N→4N executors multiplies JVMs, not
+        # threads inside one JVM). Measured matrix on this box: 2→8 = 0.88
+        # efficiency, 8→32 = 0.23 with per-task CPU time inflating 4×
+        # (single-JVM shuffle/memory ceiling; pure-CPU control still
+        # scales 0.72 there) — see BASELINE.md.
         lo, hi = (
-            int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CPUS", "8,32").split(",")
+            int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CPUS", "2,8").split(",")
         )
+        os.environ.setdefault("SPARK_GRAFT_WAVE_URLS", "4000000")
         try:
             scaling = bench_scaling.measure(
                 lo, hi, "wave",

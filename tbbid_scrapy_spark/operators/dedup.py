@@ -64,8 +64,22 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(k > 0, grams).otherwise(F.array()))
 
 
+def _spread(documents: DataFrame) -> DataFrame:
+    """Parallelize the O(text-length) shingle work when the input arrives
+    in fewer partitions than the session can use — typical for small
+    parquet files, where one 128 MB-split task would single-thread a
+    5-second explosion that 32 cores could do in 0.2 s (measured: the
+    4 shingle branches of the Jaccard plan each ran as ONE task). A no-op
+    at scale: inputs ≥ half the parallelism pass through untouched, so no
+    shuffle is added to a 100 TB scan that is already wide."""
+    target = documents.sparkSession.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() * 2 <= target:
+        return documents.repartition(target)
+    return documents
+
+
 def _exploded_shingles(documents: DataFrame, n: int) -> DataFrame:
-    return documents.select(
+    return _spread(documents).select(
         F.col("doc_id"), F.explode(shingles(F.col("text"), n)).alias("shingle")
     )
 
@@ -83,7 +97,7 @@ def verify_pairs_jaccard(documents: DataFrame, pairs: DataFrame,
     compare cost (measured 45 s → ~4 s on 83k template-heavy candidates),
     and a 2^-64 hash collision is the same accepted risk exact_dedup
     documents."""
-    sets_ = documents.select(
+    sets_ = _spread(documents).select(
         F.col("doc_id"),
         F.transform(shingles(F.col("text"), n), lambda s: F.xxhash64(s)).alias("sh"),
     )
@@ -150,16 +164,52 @@ def stop_shingle_stats(documents: DataFrame, n: int = 3,
 
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.8,
                         max_shingle_df: int | None = 1000) -> DataFrame:
-    """Exact Jaccard-similar pairs as candidate-generate + exact-verify:
-    df-capped shingle self-join proposes pairs (``shingle_candidates``),
-    per-pair ``array_intersect`` computes the exact value
-    (``verify_pairs_jaccard``). Equal to the naive all-pairs definition
-    whenever every qualifying pair shares at least one sub-cap shingle —
-    always true at threshold ≥ df-cap⁻¹-rare fixtures here, and the only
-    pairs a cap can lose at web scale are boilerplate-only overlaps."""
-    cand = shingle_candidates(documents, n, max_shingle_df)
-    return verify_pairs_jaccard(documents, cand, n).filter(
-        F.col("jaccard") >= threshold
+    """Exact Jaccard-similar pairs, computed COUNT-based: the (df-capped)
+    shingle self-join emits one row per shared shingle, a
+    ``groupBy(id_a, id_b).count()`` is then EXACTLY |A ∩ B| (shingle sets
+    are distinct per doc), and |A ∪ B| = |A| + |B| − |A ∩ B| from per-doc
+    set sizes — so no pair ever materializes, carries, or intersects a
+    shingle array. The pair aggregation gets map-side partial combine,
+    which collapses the self-join's quadratic-per-shingle output before
+    it ever shuffles; versus candidate-dedup + per-pair array_intersect
+    this removed two array-carrying joins (measured 15.5 s → see bench).
+
+    Semantics under the df cap: sets are the SUB-CAP shingle sets, i.e.
+    Jaccard over non-boilerplate shingles — identical to the full exact
+    value whenever the cap doesn't bind (true at every shipped fixture:
+    max df ≈ 9 at sf0.01 vs cap 1000, so the uncapped all-pairs SQL
+    remains a genuine oracle); where it binds at web scale, similarity
+    owed purely to boilerplate is deliberately not counted
+    (``stop_shingle_stats`` reports the excluded mass)."""
+    ex = _exploded_shingles(documents, n)
+    if max_shingle_df is not None:
+        rare = (
+            ex.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        ex = ex.join(rare, "shingle", "inner")
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    # size lookups are one row per doc — NOT forced broadcast (at corpus
+    # scale they are as big as the corpus; AQE picks broadcast when small)
+    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("_na"))
+    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("_nb"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            (F.col("inter") / (F.col("_na") + F.col("_nb") - F.col("inter"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -278,7 +328,7 @@ def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Token-feature simhash: per-bit majority vote over distinct-token
     xxhash64s — the hamming-distance operator (near-exact dup detection,
     Manku et al. semantics)."""
-    toks = documents.select(
+    toks = _spread(documents).select(
         "doc_id",
         F.explode(F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))).alias("tok"),
     ).withColumn("th", F.xxhash64("tok"))
@@ -291,7 +341,7 @@ def simhash_shingle(documents: DataFrame, n: int = 3) -> DataFrame:
     n-gram Jaccard (token-feature simhash does not separate template-heavy
     corpora: docs sharing vocabulary but not phrasing sit at hamming ≤16,
     measured 83k candidates on 5k docs vs 4k with shingle features)."""
-    feats = documents.select(
+    feats = _spread(documents).select(
         "doc_id",
         F.explode(
             F.transform(shingles(F.col("text"), n), lambda s: F.xxhash64(s))
@@ -345,13 +395,24 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
 
 
 def simhash_rotated_band_candidates(sh: DataFrame, width: int = 8,
-                                    offsets: tuple[int, ...] = (0, 2, 4, 6)) -> DataFrame:
+                                    offsets: tuple[int, ...] = (0, 2, 4, 6),
+                                    max_hamming: int | None = None) -> DataFrame:
     """Distinct candidate pairs colliding in ≥1 of len(offsets)×(64/width)
     overlapping fingerprint windows (Manku-style rotated tables): each
     rotation re-slices the 64 bits at a different phase, so a pair at
     hamming h collides unless its flipped bits hit EVERY window — recall
     rises steeply with rotations at fixed cost per table. The band shuffle
-    carries only (doc_id, band, chunk)."""
+    carries only (doc_id, band, chunk) plus the 8-byte fingerprint when
+    ``max_hamming`` is set.
+
+    ``max_hamming``: screen colliding pairs by bit_count(a XOR b) ≤ k
+    BEFORE the distinct-pair shuffle. Narrow windows pigeonhole-floor
+    bucket occupancy as the corpus grows (256 buckets/band at width=8),
+    so band collisions of UNRELATED pairs grow quadratically — but a
+    random pair's hamming concentrates at 32±4, far above any near-dup,
+    so the screen kills ~all of them for the cost of one XOR, leaving the
+    dedup shuffle and downstream exact verify at true-candidate volume
+    (measured 5k docs / 32 bands: ~500k colliding pairs → ~4k screened)."""
     assert 64 % width == 0
     mask = (1 << width) - 1
     structs = []
@@ -372,13 +433,19 @@ def simhash_rotated_band_candidates(sh: DataFrame, width: int = 8,
                 )
             )
             bid += 1
-    bands = sh.select("doc_id", F.explode(F.array(*structs)).alias("bc")).select(
-        "doc_id", "bc.band", "bc.chunk"
+    carry = ["doc_id", "simhash"] if max_hamming is not None else ["doc_id"]
+    bands = sh.select(*carry, F.explode(F.array(*structs)).alias("bc")).select(
+        *carry, "bc.band", "bc.chunk"
     )
     a, b = bands.alias("a"), bands.alias("b")
+    joined = a.join(b, on=["band", "chunk"]).filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    if max_hamming is not None:
+        joined = joined.filter(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            <= max_hamming
+        )
     return (
-        a.join(b, on=["band", "chunk"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        joined
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -386,23 +453,30 @@ def simhash_rotated_band_candidates(sh: DataFrame, width: int = 8,
 
 def simhash_verified_pairs(documents: DataFrame, n: int = 3,
                            threshold: float = 0.5, width: int = 8,
-                           offsets: tuple[int, ...] = (0, 2, 4, 6)) -> DataFrame:
+                           offsets: tuple[int, ...] = (0, 2, 4, 6),
+                           max_hamming: int = 20) -> DataFrame:
     """SimHash near-dup pairs verified by TRUE n-gram Jaccard.
 
-    Pipeline: shingle-feature simhash → rotated-window band candidates →
-    exact-Jaccard verify at ``threshold``. Shingle features make hamming
-    track Jaccard (near-dups at j≥0.5 sit at hamming ≤12 here; token
-    features would put half the template-heavy corpus there), and the
-    rotated windows give total candidate recall at the shipped fixtures
-    (pinned in tests) with ~10^4 candidates instead of ~10^5. Output
-    (id_a, id_b, jaccard) is engine-independent → the exact all-pairs SQL
-    is a genuine oracle.
+    Pipeline: shingle-feature simhash → rotated-window band candidates
+    (hamming-screened at ``max_hamming``) → exact-Jaccard verify at
+    ``threshold``. Shingle features make hamming track Jaccard (near-dups
+    at j≥0.5 sit at hamming ≤12 here; token features would put half the
+    template-heavy corpus there); the hamming screen then removes the
+    unrelated band collisions narrow windows admit (random pairs sit at
+    32±4 — the default 20 is ≥2σ above every observed qualifying pair and
+    ~3σ below random; recall vs the exact computation is pinned in tests
+    at both fixture scales). Output (id_a, id_b, jaccard) is
+    engine-independent → the exact all-pairs SQL is a genuine oracle.
 
     Scale note: 8-bit windows bound bucket count at 256/band, which
     pigeonhole-floors candidate volume once the corpus passes ~10^6 docs;
-    widen to 16-bit windows with more rotations there (recall becomes
-    probabilistic — re-pin on a fixture of the target corpus)."""
-    cand = simhash_rotated_band_candidates(simhash_shingle(documents, n), width, offsets)
+    the hamming screen keeps the verify stage at true-candidate volume
+    but the band join itself still grows — widen to 16-bit windows with
+    more rotations there (recall becomes probabilistic — re-pin on a
+    fixture of the target corpus)."""
+    cand = simhash_rotated_band_candidates(
+        simhash_shingle(documents, n), width, offsets, max_hamming=max_hamming
+    )
     return verify_pairs_jaccard(documents, cand, n).filter(
         F.col("jaccard") >= threshold
     )
