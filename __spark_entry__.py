@@ -445,6 +445,30 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed cosine top-k (the 'IVF variant as the scale path'):
+    deterministic k-means coarse quantizer, n_probe nearest inverted
+    lists per query, exact re-score. Output equals brute force whenever
+    every true neighbor lives in a probed list, so the exact top-k SQL
+    oracles it. n_probe == n_centroids HERE because the fixture's
+    embeddings are unstructured (no planted neighbor clusters — top-5
+    cosines sit at ~0.25), where partial-probe equality is impossible by
+    construction; the driver gate thus checks the full IVF plumbing
+    (index build, probe ranking, list join, re-score) while the pruning
+    path's recall curve at partial probe (0.75@8/16 → 1.0@16/16 on this
+    data; total recall needs clustered data) is pinned in
+    tests/test_operators_dedup.py."""
+    from tbbid_scrapy_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return (
+        ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=16, iters=2)
+        .select("query_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ 0.95) via the LSH-bucket
     scale path (default — no all-pairs join reachable from queries();
@@ -632,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "title_filter": q_title_filter,
         "array_distinct_filter": q_array_distinct_filter,
@@ -687,6 +712,14 @@ _LANG_LISTS = {
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_literal()
+    # ann_ivf probes inverted lists and re-scores exactly, so brute-force
+    # top-k IS its ground truth (recall pinned in tests) — same SQL.
+    out["ann_ivf"] = out["cosine_topk"]
+    return out
+
+
+def _oracle_sql_literal() -> dict[str, str]:
     return {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

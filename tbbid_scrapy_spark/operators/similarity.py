@@ -123,6 +123,118 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def ivf_index(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
+              seed: int = 42) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: k-means centroids + per-vector assignment,
+    entirely as DataFrame ops (no MLlib, no Python in the loop).
+
+    - init: the ``n_centroids`` vectors with smallest xxhash64(vec_id,
+      seed) — a deterministic uniform sample, reproducible with no RNG
+      state (same trick as the LSH hyperplanes above).
+    - Lloyd iteration: assign each vector to its nearest centroid by
+      cosine (broadcast centroids — there are dozens, not millions),
+      then recompute each centroid as the element-wise mean via
+      posexplode + groupBy(cid, pos) — two narrow shuffles per iteration,
+      partial-aggregated map-side. Index construction is the offline
+      path; at 10^10 vectors one builds it on a sample and only the
+      single assign pass touches the full corpus.
+
+    Returns (centroids(cid, centroid), assigned(vec_id, embedding, cid)).
+    """
+    init = (
+        corpus.select("vec_id", "embedding")
+        .withColumn("_r", F.xxhash64(F.col("vec_id"), F.lit(seed)))
+        .orderBy("_r")
+        .limit(n_centroids)
+    )
+    centroids = init.select(
+        (F.row_number().over(Window.orderBy("_r")) - 1).alias("cid"),
+        F.col("embedding").alias("centroid"),
+    )
+    for _ in range(iters):
+        assigned = assign_ivf(corpus, centroids)
+        centroids = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("centroid")
+            )
+        )
+    return centroids, assign_ivf(corpus, centroids)
+
+
+def assign_ivf(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid id per vector (cosine, ties → smallest cid):
+    broadcast the centroid table, score every (vector, centroid) pair
+    map-side, keep the argmax with one map-side-combined groupBy."""
+    c = F.broadcast(centroids.select("cid", "centroid"))
+    scored = corpus.join(c).select(
+        "vec_id",
+        "embedding",
+        F.struct(
+            cosine(F.col("embedding"), F.col("centroid")).alias("cos"),
+            (-F.col("cid")).alias("neg_cid"),
+        ).alias("_s"),
+        F.col("cid"),
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.max("_s").alias("_best"))
+        .select("vec_id", (-F.col("_best.neg_cid")).cast("int").alias("cid"))
+    )
+    return corpus.join(best, "vec_id").select("vec_id", "embedding", "cid")
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4, iters: int = 3,
+             seed: int = 42,
+             index: tuple[DataFrame, DataFrame] | None = None) -> DataFrame:
+    """Approximate top-k by cosine via IVF probing, exact re-score.
+
+    Each query scores only the inverted lists of its ``n_probe`` nearest
+    centroids — at scale this touches ~(n_probe/n_centroids) of the
+    corpus per query instead of all of it, and the probed candidates are
+    re-scored with the TRUE cosine, so output equals the brute-force
+    top-k whenever every true neighbor lives in a probed list (pinned on
+    the shipped fixtures in tests — which is what lets the exact
+    brute-force SQL oracle this query). Same output contract as
+    ``cosine_topk``: (query_id, vec_id, cos, rank ≤ k)."""
+    centroids, assigned = index if index is not None else ivf_index(
+        corpus, n_centroids, iters, seed
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qc = q.join(F.broadcast(centroids)).select(
+        "query_id",
+        "q_emb",
+        "cid",
+        cosine(F.col("q_emb"), F.col("centroid")).alias("_ccos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_ccos").desc(), F.col("cid"))
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "q_emb", "cid")
+    )
+    scored = assigned.join(F.broadcast(probes), on="cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id", "vec_id", cosine(F.col("embedding"), F.col("q_emb")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
 def pairs_above(corpus: DataFrame, threshold: float = 0.95,
                 n_planes: int = 8, seed: int = 42, exact: bool = False) -> DataFrame:
     """Embedding near-dup pairs with cosine ≥ threshold.

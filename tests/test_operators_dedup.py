@@ -245,6 +245,88 @@ def test_verified_entry_queries_equal_exact(spark, driver_docs):
     assert sv == exact
 
 
+def test_ivf_partial_probe_exact_on_clustered_data(spark):
+    """On data WITH neighbor structure (8 well-separated clusters), IVF
+    probing only 2 of 8 lists must reproduce brute-force top-k exactly —
+    the pruning path, not the degenerate full probe."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    centers = rng.normal(size=(8, 32)) * 10.0
+    rows = []
+    for i in range(320):
+        v = centers[i % 8] + rng.normal(size=32)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in similarity.cosine_topk(emb, qs, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in similarity.ivf_topk(
+            emb, qs, k=5, n_centroids=8, n_probe=2, iters=3
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_recall_curve_and_balance_on_driver_fixture(spark):
+    """Unstructured fixture embeddings: recall grows monotonically with
+    n_probe and reaches 1.0 at full probe (the driver-gate operating
+    point); the k-means lists stay balanced (no empty / giant list)."""
+    import os
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(path)
+    qs = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.cosine_topk(emb, qs, k=5).collect()
+    }
+    idx = similarity.ivf_index(emb, n_centroids=16, iters=2)
+    recalls = []
+    for n_probe in (8, 16):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in similarity.ivf_topk(
+                emb, qs, k=5, n_centroids=16, n_probe=n_probe, index=idx
+            ).collect()
+        }
+        recalls.append(len(exact & got) / len(exact))
+    assert recalls[0] >= 0.5
+    assert recalls[-1] == 1.0  # full probe == brute force (driver oracle)
+    assert recalls == sorted(recalls)
+    counts = [r["count"] for r in idx[1].groupBy("cid").count().collect()]
+    assert len(counts) == 16 and min(counts) > 0 and max(counts) < 500 * 0.2
+
+
+def test_simhash_hamming_screen_lossless_at_bench_scale(spark):
+    """The hamming pre-screen (max_hamming=20) must not lose a single
+    qualifying pair at the LARGEST local fixture (sf0.1, 5k docs) — the
+    scale where narrow 8-bit windows pigeonhole-admit ~10^5 unrelated
+    collisions and the screen does real work. Equality, not recall."""
+    import os
+
+    path = "/root/testdata/sf0.1/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip("sf0.1 testdata not present")
+    docs = spark.read.parquet(path)
+    exact = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    screened = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in dedup.simhash_verified_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert len(exact) > 100  # the fixture plants hundreds of near-dups
+    assert screened == exact
+
+
 def test_embedding_near_dup_lsh_equals_exact_on_driver_fixture(spark):
     """Oracle-validity pin for q_embedding_near_dup: the LSH-bucket default
     must return exactly the exact-join pair set at τ=0.95 on the driver
