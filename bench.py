@@ -136,14 +136,13 @@ def bench_wave(spark, n_urls: int = 2_000_000, dup_ratio: float = 0.25) -> dict:
     raw = raw.persist()
     raw.count()  # exclude generation from the measurement
 
-    from tbbid_scrapy_spark.functions.urls import canonicalize_url_pd
+    from tbbid_scrapy_spark.functions.urls import with_url_norm
 
     t0 = _t.monotonic()
-    cand = (
-        raw.withColumn("url_norm", canonicalize_url_pd(F.col("url")))
-        .withColumn("url_hash", F.xxhash64("url_norm"))
-        .withColumn("host", F.lower(F.parse_url(F.col("url_norm"), F.lit("HOST"))))
-    )
+    # hybrid canonicalizer: these URLs are plain, so this measures the
+    # Catalyst fast path — the operating point of a real crawl, where the
+    # Arrow-UDF fallback sees only the percent-escaped/exotic tail
+    cand = with_url_norm(raw, "url")
     cand = apply_robots_joined(cand, robots)
     payload = [c for c in cand.columns if c not in ("url_hash", "seq")]
     deduped = (

@@ -67,6 +67,106 @@ def canonicalize_url_pd(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: canonicalize_url_py(u))
 
 
+# ---------------------------------------------------------------------------
+# JVM fast path: for "plain" URLs the canonical form is expressible with
+# pure Catalyst expressions (regexp extracts + a higher-order sort of the
+# query pairs) — whole-stage-codegen speed, no Python worker round-trip.
+# Plain ⇔ provably byte-identical to canonicalize_url_py: http(s) scheme,
+# [A-Za-z0-9.-] host, no userinfo, no leading-zero port, any %-free-risk
+# query charset ([A-Za-z0-9_.~-]) where parse_qsl→sort→urlencode is the
+# identity transformation modulo ordering and bare-key '=' insertion.
+# Everything else (percent-escapes, '+', IPv6, exotic schemes, interior
+# whitespace) falls back to the Arrow UDF — at crawl scale the fast path
+# covers ~all real URLs, so canonicalization leaves the Python hot path.
+# Byte-equality is enforced by hypothesis tests (test_properties.py) and
+# the crawl ordering/seen-set parity suite.
+# ---------------------------------------------------------------------------
+
+# Flat groups only, each anchored by a distinct leading char (:, /, ?, #)
+# — a nested per-pair query structure here backtracks catastrophically
+# (measured: the predicate alone cost as much as the full canonical
+# expression). Multi-'=' chunks are admitted; the expression reproduces
+# urlencode by re-quoting '=' inside values as %3D. NO \s anywhere: a
+# \s inside a negated class knocks Java regex off its fast path
+# (measured 10× — 0.3 s → 3.5 s per 4M rows); \t\r\n are excluded
+# explicitly because urlsplit strips them ANYWHERE (so such URLs must
+# take the Python fallback), while interior spaces in path/fragment are
+# byte-preserved by both sides and therefore plain.
+PLAIN_URL_RE = (
+    r"^[Hh][Tt][Tt][Pp][Ss]?://"
+    r"[A-Za-z0-9.\-]+"
+    r"(:[1-9][0-9]{0,4})?"
+    r"(/[^?#\t\n\r ]*)?"
+    r"(\?[A-Za-z0-9_.~=&\-]*)?"
+    r"(#[^\t\n\r]*)?$"
+)
+
+
+def is_plain_url(url: Column) -> Column:
+    """True when the TRIMMED url is canonicalizable JVM-side."""
+    return F.regexp_like(F.trim(url), F.lit(PLAIN_URL_RE))
+
+
+def canonicalize_url_jvm(url: Column) -> Column:
+    """Catalyst-only canonicalizer — valid ONLY where is_plain_url holds
+    (callers split-union with the Arrow UDF for the rest). Parsing is
+    pure linear string ops (substring_index/locate) — the predicate
+    already guarantees the URL's shape, and each regexp_extract this
+    replaced re-scans the string through the regex engine (~6× the cost
+    of the whole pipeline at 4M URLs)."""
+    # Each component comes from ONE flat parse_url/extract on the input —
+    # deep chains of string ops referencing each other explode the
+    # Catalyst expression tree (every reference copies its subtree;
+    # measured 4× slower than the regex version they replaced), while
+    # flat extraction keeps the projection linear in component count.
+    u = F.substring_index(F.trim(url), "#", 1)  # fragment dropped first
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    authority = F.parse_url(u, F.lit("AUTHORITY"))
+    host = F.lower(F.substring_index(authority, ":", 1))
+    port = F.when(
+        F.instr(authority, ":") > 0, F.substring_index(authority, ":", -1)
+    ).otherwise(F.lit(""))
+    default_port = (
+        F.when(scheme == "http", F.lit("80"))
+        .when(scheme == "https", F.lit("443"))
+        .otherwise(F.lit(""))
+    )
+    netloc = F.when(
+        (port != "") & (port != default_port), F.concat(host, F.lit(":"), port)
+    ).otherwise(host)
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qraw = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    busters = F.array(*[F.lit(k) for k in sorted(CACHE_BUSTER_KEYS)])
+    kv = F.transform(
+        F.filter(F.split(qraw, "&"), lambda p: p != ""),
+        # split on the FIRST '=' (parse_qsl semantics); keep the value RAW
+        # here — python sorts the DECODED pairs, so the urlencode-style
+        # re-quoting of '=' inside values (%3D) happens after the sort
+        lambda p: F.struct(
+            F.get(F.split(p, "=", 2), 0).alias("k"),
+            F.coalesce(F.get(F.split(p, "=", 2), 1), F.lit("")).alias("v"),
+        ),
+    )
+    kv = F.array_sort(F.filter(kv, lambda s: ~F.array_contains(busters, s["k"])))
+    qout = F.array_join(
+        F.transform(
+            kv,
+            lambda s: F.concat(
+                s["k"], F.lit("="), F.regexp_replace(s["v"], "=", "%3D")
+            ),
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        netloc,
+        path,
+        F.when(qout == "", F.lit("")).otherwise(F.concat(F.lit("?"), qout)),
+    )
+
+
 @F.pandas_udf(T.StringType())
 def resolve_and_canonicalize_pd(urls: pd.Series, bases: pd.Series) -> pd.Series:
     """Arrow-batched relative-URL resolution + canonicalization
@@ -88,14 +188,41 @@ def host_col(url_norm: Column) -> Column:
     return F.lower(F.parse_url(url_norm, F.lit("HOST")))
 
 
-def with_url_norm(df: DataFrame, url_col: str = "url", base_col: str | None = None) -> DataFrame:
-    """Attach url_norm / url_hash / host to a DataFrame of raw URLs."""
-    if base_col:
-        norm = resolve_and_canonicalize_pd(F.col(url_col), F.col(base_col))
+def with_url_norm(df: DataFrame, url_col: str = "url", base_col: str | None = None,
+                  mode: str = "hybrid") -> DataFrame:
+    """Attach url_norm / url_hash / host to a DataFrame of raw URLs.
+
+    mode='hybrid': rows whose URL is plain (is_plain_url — the
+    ~all-of-the-web fast path; an absolute http(s) URL ignores its base,
+    urljoin is the identity there) take the Catalyst expression; the rest
+    round-trip through the Arrow UDF. Split-union instead of a when():
+    Spark evaluates an extracted Python UDF on every row regardless of
+    the branch it feeds, so a conditional expression would still pay the
+    full Python cost. The split-union recomputes the upstream plan once
+    per branch — a win only when the input is wide (interleaved A/B:
+    8M-URL wave 160k vs ~140k URLs/s, but 6k-URL crawl waves 545 vs
+    835 URLs/s), so narrow callers pass mode='python' (the crawl loop
+    picks per wave off its pending estimate).
+
+    mode='python': the Arrow UDF for every row — one branch, no union."""
+    if mode == "hybrid":
+        plain = F.coalesce(is_plain_url(F.col(url_col)), F.lit(False))
+        fast = df.filter(plain).withColumn(
+            "url_norm", canonicalize_url_jvm(F.col(url_col))
+        )
+        if base_col:
+            slow_norm = resolve_and_canonicalize_pd(F.col(url_col), F.col(base_col))
+        else:
+            slow_norm = canonicalize_url_pd(F.col(url_col))
+        slow = df.filter(~plain).withColumn("url_norm", slow_norm)
+        out = fast.unionByName(slow)
     else:
-        norm = canonicalize_url_pd(F.col(url_col))
+        if base_col:
+            norm = resolve_and_canonicalize_pd(F.col(url_col), F.col(base_col))
+        else:
+            norm = canonicalize_url_pd(F.col(url_col))
+        out = df.withColumn("url_norm", norm)
     return (
-        df.withColumn("url_norm", norm)
-        .withColumn("url_hash", url_hash_col(F.col("url_norm")))
+        out.withColumn("url_hash", url_hash_col(F.col("url_norm")))
         .withColumn("host", host_col(F.col("url_norm")))
     )

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tbbid_scrapy_spark.fixtures.sitegen import PRIORITY_BY_KIND
-from tbbid_scrapy_spark.functions.urls import resolve_and_canonicalize_pd, with_url_norm
+from tbbid_scrapy_spark.functions.urls import with_url_norm
 from tbbid_scrapy_spark.operators import frontier as fops
 from tbbid_scrapy_spark.operators.bloom import BloomSpec, bloom_insert, bloom_test, empty_shards
 from tbbid_scrapy_spark.operators.cuckoo import (
@@ -132,6 +132,15 @@ class CrawlConfig:
     # Default from an interleaved A/B at a 44k-page site, local[32]:
     # 2048 → 865-918 URLs/s vs 0 → 372-638 vs 8192 → 548 (starved).
     min_rows_per_task: int = 2048
+    # Canonicalizer for children links: 'adaptive' uses the JVM+Arrow
+    # hybrid (functions/urls.with_url_norm mode='hybrid') once the
+    # pending estimate clears hybrid_canon_min_rows — wide waves amortize
+    # the hybrid's split-union recompute and drop Python from the
+    # identity hot path — and the pure Arrow UDF below it (interleaved
+    # A/B: 6k-URL waves 835 vs 545 URLs/s for python vs hybrid; 8M-URL
+    # wave 160k vs ~140k the other way). 'hybrid'/'python' pin one mode.
+    canonicalizer: str = "adaptive"
+    hybrid_canon_min_rows: int = 100_000
 
 
 def _kind_expr(url_norm):
@@ -292,7 +301,8 @@ class CrawlEngine:
         order = spark.createDataFrame(
             [(u, i) for i, u in enumerate(self.seeds)], "url string, _ord int"
         )
-        seeds_norm = with_url_norm(order)
+        # seed lists are tiny — never worth the hybrid's split-union
+        seeds_norm = with_url_norm(order, mode="python")
         # seeds go through the SAME enqueue-time checks as children
         # (simulator enqueue: robots then seen/url_hash dedup, first
         # occurrence wins; a disallowed seed never enters frontier or seen)
@@ -661,13 +671,19 @@ class CrawlEngine:
                 "child_url", "/corp/persondetail", "/corp/listpersonperformance"
             ),
         )
-        children = links.withColumn(
-            "url_norm", resolve_and_canonicalize_pd(F.col("child_url"), F.col("parent"))
+        # canonicalization mode per CrawlConfig.canonicalizer: wide waves
+        # take the JVM+Arrow hybrid, trickle waves the straight Arrow UDF
+        if cfg.canonicalizer == "adaptive":
+            canon_mode = (
+                "hybrid"
+                if (st.pending_est or 0) >= cfg.hybrid_canon_min_rows
+                else "python"
+            )
+        else:
+            canon_mode = cfg.canonicalizer
+        children = with_url_norm(
+            links, "child_url", base_col="parent", mode=canon_mode
         ).filter(F.col("url_norm").isNotNull())
-        children = (
-            children.withColumn("url_hash", F.xxhash64("url_norm"))
-            .withColumn("host", F.lower(F.parse_url(F.col("url_norm"), F.lit("HOST"))))
-        )
         children = fops.apply_robots_joined(children, self.robots)
         # in-batch first-discovery wins (simulator enqueues in fetch
         # order). min(struct(order..., payload...)) per url_hash instead of

@@ -138,3 +138,20 @@ def test_simulated_politeness_clock(engine_state, politeness_df):
     total_fetches = sum(r.fetches for r in clock)
     total_s = sum(r.sim_duration_s for r in clock)
     assert total_fetches / total_s <= 4 * 3 / 2.0  # global ceiling
+
+
+def test_hybrid_canonicalizer_crawl_parity(
+    spark, sim, site_df, politeness_df, robots_df
+):
+    """The JVM+Arrow hybrid canonicalizer (the wide-wave path the adaptive
+    default only engages past hybrid_canon_min_rows) must reproduce the
+    simulator's ordering and seen set exactly when FORCED on the parity
+    fixture — byte-equality of the identity function is what makes the
+    adaptive switch safe."""
+    eng = CrawlEngine(
+        spark, site_df, sitegen.default_seeds(), politeness_df, robots_df,
+        CrawlConfig(max_waves=50, seen_mode="exact", canonicalizer="hybrid"),
+    )
+    st = eng.run()
+    assert _engine_order(st) == sim.fetch_log
+    assert {r.url_norm for r in st.seen.collect()} == sim.seen

@@ -143,3 +143,76 @@ def test_canonicalize_relative():
         canonicalize_url_py("../other/page?z=1", "https://h.cn/a/b/c")
         == "https://h.cn/a/other/page?z=1"
     )
+
+
+# ---------------------------------------------------------------------------
+# JVM fast-path canonicalizer: byte-equality with the Python reference on
+# every URL the plain-predicate admits, and correct routing of the rest.
+# ---------------------------------------------------------------------------
+
+def test_jvm_canonicalizer_byte_equal_on_plain(spark):
+    import random
+
+    from tbbid_scrapy_spark.functions.urls import (
+        canonicalize_url_jvm,
+        canonicalize_url_py,
+        is_plain_url,
+    )
+
+    rnd = random.Random(7)
+    hosts = ["Example.COM", "a.b.c.d", "xn--fiq.cn", "h-1.org"]
+    ports = ["", ":80", ":443", ":8080", ":1", ":65535"]
+    keys = ["a", "b", "PAGENUMBER", "_", "t", "zz", "k.y", "k~y", "k-y", ""]
+    vals = ["", "1", "xx", "0.5", "A_B", "~z"]
+    paths = ["", "/", "/x/y", "/x%2Fy", "/a.b/c-d_e~f", "/!$&'()*,;:@"]
+    urls = [
+        "https://Example.com:443/x?b=2&a=1&_=999",       # buster + default port
+        "http://H.org:80/?x=",                            # bare '=' value
+        "https://h.org/p?a&b=1&&c",                       # bare keys + empty chunk
+        "HTTPS://UP.CASE/path#frag?not-a-query",          # fragment holding '?'
+        "https://h.org/p?",                               # dangling '?'
+        "https://h.org:8080/p?dup=1&dup=0&dup=1",         # duplicate keys
+        "https://h.org/p?a=b=c",                          # '=' in value → %3D
+        "https://h.org/p?a=b=c&a=b0",                     # sort on decoded value
+    ]
+    for _ in range(400):
+        q = "&".join(
+            f"{rnd.choice(keys)}={rnd.choice(vals)}" if rnd.random() < 0.8
+            else rnd.choice(keys)
+            for _ in range(rnd.randrange(0, 5))
+        )
+        u = (
+            rnd.choice(["http", "https", "HTTP", "Https"]) + "://"
+            + rnd.choice(hosts) + rnd.choice(ports) + rnd.choice(paths)
+        )
+        if q or rnd.random() < 0.2:
+            u += "?" + q
+        if rnd.random() < 0.3:
+            u += "#frag"
+        urls.append(u)
+    # non-plain: must route to the Arrow fallback, never the JVM expr
+    non_plain = [
+        "https://h.org/p?a=%2F",          # percent-escape in query
+        "https://h.org/p?a=b+c",          # '+' (space) in query
+        "https://user@h.org/p",           # userinfo
+        "https://[::1]/p",                # IPv6
+        "ftp://h.org/p",                  # non-http scheme
+        "https://h.org:0080/p",           # leading-zero port
+        "https://h.org/a\tb",             # tab: urlsplit strips it anywhere
+        "https://h.org/a b",              # space in path: parse_url rejects
+    ]
+    df = spark.createDataFrame([(u,) for u in urls + non_plain], "url string")
+    rows = df.select(
+        "url",
+        is_plain_url(F.col("url")).alias("plain"),
+        canonicalize_url_jvm(F.col("url")).alias("jvm"),
+    ).collect()
+    n_plain = 0
+    for r in rows:
+        if r.plain:
+            n_plain += 1
+            assert r.jvm == canonicalize_url_py(r.url), (r.url, r.jvm)
+    assert n_plain >= len(urls) * 0.95          # the fast path really is the common path
+    by_url = {r.url: r.plain for r in rows}
+    for u in non_plain:
+        assert not by_url[u], f"non-plain URL admitted to JVM path: {u}"
