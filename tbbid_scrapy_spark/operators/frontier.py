@@ -167,16 +167,20 @@ def politeness_rank(pending: DataFrame, politeness: DataFrame,
     identical to the naive window (pinned by the ordering parity tests).
     """
     # defensive: one budget row per host (duplicate rule rows would
-    # multiply frontier rows through the join)
-    budgets = F.broadcast(
-        politeness.groupBy("host").agg(F.min("budget_per_wave").alias("budget_per_wave"))
+    # multiply frontier rows through the join). Budget and count tables
+    # are one row per host — NOT hint-forced broadcasts: below ~10^6
+    # hosts the optimizer broadcasts them anyway (fixture plans pinned in
+    # test_plan_quality), and at extreme host cardinality it degrades to
+    # a shuffle join on `host` instead of OOMing the driver.
+    budgets = politeness.groupBy("host").agg(
+        F.min("budget_per_wave").alias("budget_per_wave")
     )
     with_budget = pending.join(budgets, on="host", how="left").withColumn(
         "_budget", F.coalesce(F.col("budget_per_wave"), F.lit(default_budget))
     ).drop("budget_per_wave")
 
     counts = with_budget.groupBy("host").agg(F.count("*").alias("_pending"))
-    with_counts = with_budget.join(F.broadcast(counts), "host")
+    with_counts = with_budget.join(counts, "host")
 
     under = with_counts.filter(F.col("_pending") <= F.col("_budget")).drop(
         "_budget", "_pending"
