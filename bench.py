@@ -217,7 +217,7 @@ def main() -> None:
         lo, hi = (
             int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CPUS", "2,8").split(",")
         )
-        os.environ.setdefault("SPARK_GRAFT_WAVE_URLS", "4000000")
+        os.environ.setdefault("SPARK_GRAFT_WAVE_URLS", "2000000")
         try:
             scaling = bench_scaling.measure(
                 lo, hi, "wave",

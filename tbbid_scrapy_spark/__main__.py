@@ -28,7 +28,7 @@ def main(argv: list[str] | None = None) -> int:
     crawl.add_argument("--checkpoint", default=None)
     crawl.add_argument("--max-waves", type=int, default=100)
     crawl.add_argument("--seen-mode", default="hybrid",
-                       choices=["exact", "bloom", "hybrid"])
+                       choices=["exact", "bloom", "hybrid", "cuckoo"])
     crawl.add_argument("--listings", type=int, default=4)
     crawl.add_argument("--projects", type=int, default=400)
     crawl.add_argument("--budget", type=int, default=4)
@@ -69,11 +69,19 @@ def main(argv: list[str] | None = None) -> int:
             sitegen.default_politeness(args.budget, args.budget), schemas.POLITENESS
         )
         rob = spark.createDataFrame(sitegen.default_robots(), schemas.ROBOTS)
+        from tbbid_scrapy_spark.operators.cuckoo import CuckooSpec
+
         spec = BloomSpec.for_capacity(10_000_000, 0.01, 64)
+        cuckoo = (
+            CuckooSpec.for_capacity(10_000_000, 64)
+            if args.seen_mode == "cuckoo"
+            else None
+        )
         eng = CrawlEngine(
             spark, site_df, sitegen.default_seeds(), pol, rob,
             CrawlConfig(max_waves=args.max_waves, seen_mode=args.seen_mode,
-                        bloom_spec=spec, checkpoint_dir=args.checkpoint),
+                        bloom_spec=spec, cuckoo_spec=cuckoo,
+                        checkpoint_dir=args.checkpoint),
         )
         st = eng.run()
     else:
