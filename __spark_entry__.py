@@ -445,6 +445,20 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus filter (operators/text.corpus_keep):
+    quality gate → language gate (en) → exact dedup keep-min → near-dup
+    drop (exact Jaccard ≥ 0.5, smaller-id wins). Every stage
+    deterministic, so one SQL pipeline is the oracle for the whole
+    composition."""
+    from tbbid_scrapy_spark.operators.text import corpus_keep
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_keep(
+        d, min_words=20, max_punct_ratio=0.2, lang="en", near_dup_threshold=0.5
+    ).orderBy("doc_id")
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed cosine top-k (the 'IVF variant as the scale path'):
     deterministic k-means coarse quantizer, n_probe nearest inverted
@@ -657,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
         "ann_ivf": q_ann_ivf,
+        "corpus_filter": q_corpus_filter,
         "embedding_near_dup": q_embedding_near_dup,
         "title_filter": q_title_filter,
         "array_distinct_filter": q_array_distinct_filter,
@@ -716,7 +731,71 @@ def oracle_sql() -> dict[str, str]:
     # ann_ivf probes inverted lists and re-scores exactly, so brute-force
     # top-k IS its ground truth (recall pinned in tests) — same SQL.
     out["ann_ivf"] = out["cosine_topk"]
+    out["corpus_filter"] = _CORPUS_FILTER_SQL
     return out
+
+
+# End-to-end corpus filter oracle: quality gate (word count + punct
+# ratio, mirroring operators/text.quality_features exactly — \w and \s
+# are ASCII in both Java and RE2 regex engines, so accented letters
+# count as punctuation consistently) → lang argmax (same CASE as the
+# lang_id oracle) → exact-dedup keep-min per normalized text → drop any
+# survivor that is id_b of an exact-Jaccard ≥ 0.5 pair among survivors.
+_CORPUS_FILTER_SQL = f"""
+    WITH feats AS (
+        SELECT doc_id, text,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS INT) AS n_words,
+               (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+                 / greatest(length(text), 1) AS punct_ratio,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+        FROM documents
+    ), gated AS (
+        SELECT doc_id, text, n_words,
+               len(list_filter(ws, w -> list_contains({_LANG_LISTS['de']}, w))) AS h_de,
+               len(list_filter(ws, w -> list_contains({_LANG_LISTS['en']}, w))) AS h_en,
+               len(list_filter(ws, w -> list_contains({_LANG_LISTS['es']}, w))) AS h_es,
+               len(list_filter(ws, w -> list_contains({_LANG_LISTS['fr']}, w))) AS h_fr
+        FROM feats
+        WHERE n_words >= 20 AND punct_ratio <= 0.2
+    ), langed AS (
+        SELECT doc_id, text, n_words,
+               CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                    WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                    WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                    WHEN h_es >= h_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM gated
+    ), survivors AS (
+        SELECT doc_id, text, n_words FROM (
+            SELECT *, min(doc_id) OVER (
+                PARTITION BY {_NORM}
+            ) AS _keep
+            FROM langed WHERE lang_pred = 'en'
+        ) WHERE doc_id = _keep
+    ), toks AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS w FROM survivors
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            [array_to_string(w[i+1:i+3], ' ') for i in range(len(w) - 2)]
+        )) AS shingle
+        FROM toks WHERE len(w) >= 3
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), losers AS (
+        SELECT DISTINCT id_b FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    )
+    SELECT doc_id, n_words FROM survivors
+    WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    ORDER BY doc_id
+"""
 
 
 def _oracle_sql_literal() -> dict[str, str]:

@@ -135,3 +135,56 @@ def with_text_analysis(documents: DataFrame, text_col: str = "text") -> DataFram
             "fingerprint": fingerprint(c),
         }
     )
+
+
+def corpus_keep(documents: DataFrame, min_words: int = 20,
+                max_punct_ratio: float = 0.2, lang: str | None = "en",
+                near_dup_threshold: float = 0.5,
+                max_shingle_df: int | None = 1000) -> DataFrame:
+    """End-to-end pretraining-corpus filter — the composition a 100 TB
+    data pipeline actually runs, each stage the already-tested operator:
+
+    1. quality gate   : n_words ≥ min_words AND punct_ratio ≤ cap
+                        (quality_features — scan-speed Catalyst)
+    2. language gate  : lang_id(text) == lang (skip when lang is None)
+    3. exact dedup    : keep the smallest doc_id per normalized text
+                        (one hash-shuffle, map-side combined)
+    4. near-dup drop  : remove any survivor with a SMALLER near-duplicate
+                        among survivors (exact n-gram Jaccard ≥ τ via the
+                        count-based dedup.ngram_jaccard_pairs — a doc is
+                        dropped iff it appears as id_b of some pair)
+
+    Deterministic end to end, so the whole pipeline is DuckDB-oracle
+    checkable; returns (doc_id, n_words) of the kept documents. Stage
+    order is filter-first: dedup runs on the quality/lang survivors
+    (cheaper at scale — the gates are scan-speed, dedup shuffles)."""
+    from tbbid_scrapy_spark.operators import dedup as _dedup
+
+    c = F.col("text")
+    f = quality_features(c)
+    base = documents.select(
+        "doc_id",
+        "text",
+        f["n_words"].alias("n_words"),
+        f["punct_ratio"].alias("punct_ratio"),
+        lang_id(c).alias("lang_pred"),
+    ).filter(
+        (F.col("n_words") >= min_words)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+    )
+    if lang is not None:
+        base = base.filter(F.col("lang_pred") == lang)
+    keyed = base.withColumn("_th", F.xxhash64(_dedup.normalize_text(c)))
+    keepers = keyed.groupBy("_th").agg(F.min("doc_id").alias("doc_id"))
+    survivors = keyed.join(keepers, ["_th", "doc_id"], "left_semi").drop("_th")
+    pairs = _dedup.ngram_jaccard_pairs(
+        survivors.select("doc_id", "text"),
+        n=3,
+        threshold=near_dup_threshold,
+        max_shingle_df=max_shingle_df,
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        survivors.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "n_words")
+    )
