@@ -200,6 +200,30 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "frontier": frontier,
+        "wave": wave,
+        "scaling": None,
+        "cpus": CPUS,
+    }
+    # print the result line BEFORE the scaling section so a harness
+    # timeout during the (multi-JVM, minutes-long) scaling measurement
+    # still leaves a parseable record; the enriched line replaces it
+    # below when scaling completes (a last-JSON-line parser picks that
+    # one up; the artifacts in BASELINE.md carry the numbers regardless)
+    print(json.dumps(result))
+    sys.stdout.flush()
+
     # two-cluster-size scaling evidence (north_rule: efficiency ≥0.8 from
     # N to 4N executors) — separate JVMs at local[N] / local[4N] plus the
     # map/shuffle stage decomposition, embedded in the bench JSON itself.
@@ -227,22 +251,7 @@ def main() -> None:
         except Exception as e:  # never let the evidence section kill the bench
             scaling = {"error": str(e)[:500]}
 
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
-    try:
-        sf_val = float(sf)
-    except ValueError:
-        sf_val = None
-    result = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf_val,
-        "frontier": frontier,
-        "wave": wave,
-        "scaling": scaling,
-        "cpus": CPUS,
-    }
+    result["scaling"] = scaling
     print(json.dumps(result))
 
 
