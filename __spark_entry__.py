@@ -82,11 +82,18 @@ def q_groupby_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: duplicate-group detection via HAVING COUNT(*)>1
-    (test_person_performance.py:105-111) on normalized document text."""
+    (test_person_performance.py:105-111) on a normalized document-text
+    key. The key is the 32-char normalized prefix (shared-opening
+    detection) so the driver fixture actually collides — full-text
+    normalization yields zero groups at sf0.01, which made the r2 oracle
+    row vacuous; the full-text variant stays pinned non-vacuously on
+    planted duplicates in tests/test_operators_dedup.py."""
     d = _t(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = F.substring(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 1, 32
+    )
     return (
-        d.groupBy(norm.alias("norm_text"))
+        d.groupBy(norm.alias("norm_key"))
         .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("first_doc"))
         .filter(F.col("cnt") > 1)
         .select("first_doc", "cnt")
@@ -101,26 +108,40 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anti_join_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/S4: the DB-seeded anti-join (customers with no orders — same
-    shape as company_emp_info.py:31-43's NOT IN seed)."""
+    """J1/S4: the DB-seeded anti-join (customers with no URGENT order —
+    same shape as company_emp_info.py:31-43's NOT IN seed). The seed set
+    is the urgent-priority order subset: every customer has SOME order in
+    the driver fixture, so the unrestricted variant returned 0 rows and
+    its r2 oracle row asserted nothing (203 rows at sf0.01 now)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    seed = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
     return (
-        c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+        c.join(seed, "c_custkey", "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
 
 
 def q_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6: integrity anti-join — orders referencing no customer
-    (test_person_performance.py:87-93)."""
+    """J6: integrity anti-join — orders referencing no customer in the
+    restricted dimension (BUILDING segment), test_person_performance.py:
+    87-93. The unrestricted fixture is referentially intact (0 orphans →
+    vacuous r2 oracle row); anti-joining against a segment-restricted dim
+    keeps the operator shape and yields ~12k checked rows at sf0.01. To
+    bound the output the query aggregates orphans per customer key."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    dim = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
     return (
-        o.join(c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti")
-        .select("o_orderkey", "o_custkey")
-        .orderBy("o_orderkey")
+        o.join(dim, "o_custkey", "left_anti")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("orphan_orders"), F.min("o_orderkey").alias("first_order"))
+        .orderBy("o_custkey")
     )
 
 
@@ -484,17 +505,48 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine ≥ 0.95) via the LSH-bucket
-    scale path (default — no all-pairs join reachable from queries();
-    exact=True remains available for audit). The exact all-pairs SQL is
-    the oracle; bucket recall at this threshold/fixture is pinned in
-    tests/test_operators_similarity.py."""
+    """Embedding near-duplicate pairs (cosine ≥ 0.95) via the BANDED
+    hyperplane-LSH scale path (default — no all-pairs join reachable from
+    queries(); exact=True remains available for audit). The driver
+    parquet contains no pair above cos 0.51, which made the r2 oracle row
+    vacuous (0 == 0), so the corpus is augmented with DETERMINISTIC
+    perturbed copies (component i of vec v shifts by
+    ((vec_id·131 + i·17) mod 7 − 3)·0.004 → cos(v, v') ≈ 0.998):
+    the same arithmetic runs in the DuckDB oracle, whose exact all-pairs
+    join must now produce the identical NON-EMPTY 500-pair set — any
+    banded-LSH recall miss breaks the hash match. Banding necessity
+    (1 band misses pairs this oracle requires) is pinned in
+    tests/test_operators_similarity.py on the same planted shape."""
     from tbbid_scrapy_spark.operators.similarity import pairs_above
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    # index parity with the DuckDB oracle: Spark's transform index is
+    # 0-based, DuckDB's list_transform index is 1-based → (i+1) here
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: x
+        + ((F.col("vec_id") * 131 + (i + 1) * 17) % 7 - 3) * 0.004,
+    )
+    copies = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), pert.alias("embedding")
+    )
+    aug = emb.unionByName(copies)
+    # cos quantized to an integer at 1e3 scale: Spark's fold-left dot
+    # product and DuckDB's list_dot_product differ by ~1e-9 in summation
+    # order, which flips finer roundings at some of the 500 pairs (1e4
+    # quantization measurably hit a .5 boundary); every planted pair sits
+    # in [0.9979, 0.9983] — ≥0.2 units from the 998.5/997.5 boundaries —
+    # so the 1e3 integer is engine-stable while the PAIR SET carries the
+    # real check (exact cosine values are pinned by the cosine_topk key)
     return (
-        pairs_above(emb, threshold=0.95)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        pairs_above(aug, threshold=0.95)
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("cos") * 1000, 0).cast("long").alias("cos_e3"),
+        )
         .orderBy("id_a", "id_b")
     )
 
@@ -821,7 +873,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "dup_groups": f"""
             SELECT min(doc_id) AS first_doc, count(*) AS cnt
-            FROM documents GROUP BY {_NORM}
+            FROM documents GROUP BY substr({_NORM}, 1, 32)
             HAVING count(*) > 1 ORDER BY first_doc
         """,
         "distinct": """
@@ -829,13 +881,21 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "anti_join_seed": """
             SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders
+                   WHERE o_orderpriority = '1-URGENT')
             ORDER BY c_custkey
         """,
         "orphan_check": """
-            SELECT o_orderkey, o_custkey FROM orders o
-            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-            WHERE c.c_custkey IS NULL ORDER BY o_orderkey
+            SELECT o.o_custkey,
+                   count(*) AS orphan_orders,
+                   min(o.o_orderkey) AS first_order
+            FROM orders o
+            LEFT JOIN (SELECT c_custkey FROM customer
+                       WHERE c_mktsegment = 'BUILDING') c
+                   ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL
+            GROUP BY o.o_custkey ORDER BY o.o_custkey
         """,
         "broadcast_dim_join": """
             SELECT r_name,
@@ -1036,21 +1096,28 @@ def _oracle_sql_literal() -> dict[str, str]:
             ) WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "embedding_near_dup": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(b.embedding AS DOUBLE[]))
-                   / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                            CAST(a.embedding AS DOUBLE[])))
-                      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                              CAST(b.embedding AS DOUBLE[])))), 6) AS cos
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[]))
-                  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                           CAST(a.embedding AS DOUBLE[])))
-                     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-                                             CAST(b.embedding AS DOUBLE[])))) >= 0.95
-            ORDER BY id_a, id_b
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                FROM embeddings
+            ), aug AS (
+                SELECT vec_id, embedding FROM base
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id,
+                       list_transform(embedding,
+                           (x, i) -> x + ((vec_id*131 + i*17) % 7 - 3) * 0.004
+                       ) AS embedding
+                FROM base
+            ), scored AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_dot_product(a.embedding, b.embedding)
+                       / (sqrt(list_dot_product(a.embedding, a.embedding))
+                          * sqrt(list_dot_product(b.embedding, b.embedding))) AS c
+                FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b,
+                   CAST(round(c * 1000, 0) AS BIGINT) AS cos_e3
+            FROM scored
+            WHERE c >= 0.95 ORDER BY id_a, id_b
         """,
         "title_filter": """
             SELECT doc_id, title FROM (

@@ -1,14 +1,20 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a JSON
 line: {"metric", "value" (total sec), "unit": "sec", "queries": {name:
-sec}, "sf", plus a "frontier" section with URL-frontier throughput
-(urls scheduled+deduped per second — the BASELINE.json target metric)}.
+sec}, "sf", plus "frontier"/"wave" URL-frontier throughput sections
+(urls scheduled+deduped per second — the BASELINE.json target metric),
+a "shingle_df_cap" no-silent-caps section, and an embedded "scaling"
+summary (N vs 4N cores via bench_scaling.py, separate JVM per level).
 
-Scaling-efficiency evidence (N vs 4N cores) is produced by
-bench_scaling.py (separate JVMs per parallelism level) and recorded in
-BASELINE.md / BENCH notes.
+Output contract (the driver keeps only a ~2 KB stdout tail): a first
+parseable line goes out BEFORE the minutes-long scaling measurement (a
+timeout still leaves a record), and the FINAL line — the one a tail or
+last-JSON-line parser picks up — is a compact (<1.9 KB) re-emit with the
+scaling summary. The full record (per-run walls, per-level stage splits)
+is written to BENCH_FULL.json. Round 2 lost every bench number by
+printing the multi-KB enriched line last; don't reintroduce that.
 """
 
 from __future__ import annotations
@@ -36,6 +42,7 @@ HEADLINE = [
     "text_stats",
     "lang_id",
     "cosine_topk",
+    "embedding_near_dup",
     "merge_upsert",
 ]
 
@@ -200,6 +207,21 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    # no-silent-caps: how much shingle mass the default df cap excluded
+    # from the near-dup queries above (0 at every shipped fixture — the
+    # field exists so a corpus where the cap BINDS shows it in the record)
+    from tbbid_scrapy_spark.operators.dedup import stop_shingle_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cap_row = stop_shingle_stats(docs, n=3, max_shingle_df=1000).collect()[0]
+    cap_stats = {
+        "max_shingle_df": 1000,
+        "n_shingles": int(cap_row["n_shingles"]),
+        "shingles_dropped": int(cap_row["shingles_dropped"] or 0),
+        "rows_dropped": int(cap_row["rows_dropped"] or 0),
+    }
+    print(f"# shingle_df_cap: {cap_stats}", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
         sf_val = float(sf)
@@ -213,14 +235,16 @@ def main() -> None:
         "sf": sf_val,
         "frontier": frontier,
         "wave": wave,
+        "shingle_df_cap": cap_stats,
         "scaling": None,
         "cpus": CPUS,
     }
-    # print the result line BEFORE the scaling section so a harness
+    # print a first result line BEFORE the scaling section so a harness
     # timeout during the (multi-JVM, minutes-long) scaling measurement
-    # still leaves a parseable record; the enriched line replaces it
-    # below when scaling completes (a last-JSON-line parser picks that
-    # one up; the artifacts in BASELINE.md carry the numbers regardless)
+    # still leaves a parseable record; the COMPACT final line below is
+    # re-emitted LAST (the driver keeps only a ~2 KB output tail — round 2
+    # lost all bench numbers because the enriched multi-KB line came last
+    # and was truncated mid-JSON; full detail now goes to BENCH_FULL.json)
     print(json.dumps(result))
     sys.stdout.flush()
 
@@ -241,18 +265,67 @@ def main() -> None:
         lo, hi = (
             int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CPUS", "2,8").split(",")
         )
-        os.environ.setdefault("SPARK_GRAFT_WAVE_URLS", "2000000")
+        # wider wave than the headline metric so the per-stage fixed costs
+        # (~8 s of scheduling across 21 stages) amortize: at 2M URLs they
+        # alone cap measurable efficiency near 0.78 even on a quiet box
+        os.environ.setdefault("SPARK_GRAFT_SCALING_WAVE_URLS", "4000000")
         try:
             scaling = bench_scaling.measure(
                 lo, hi, "wave",
-                repeats=int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2")),
+                repeats=int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3")),
             )
-            print(f"# scaling: {scaling}", file=sys.stderr)
+            print(
+                "# scaling: eff={} median={} meets_target={}".format(
+                    scaling.get("scaling_efficiency"),
+                    scaling.get("scaling_efficiency_median"),
+                    scaling.get("meets_target"),
+                ),
+                file=sys.stderr,
+            )
         except Exception as e:  # never let the evidence section kill the bench
             scaling = {"error": str(e)[:500]}
 
     result["scaling"] = scaling
-    print(json.dumps(result))
+    # full record (per-run walls, per-level stage splits) → file + stderr
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(repo_dir, "BENCH_FULL.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError as e:
+        print(f"# BENCH_FULL.json write failed: {e}", file=sys.stderr)
+    # compact scaling summary for the final stdout line: drop the bulky
+    # per-run sections, keep every number the criterion needs
+    if scaling and "error" not in scaling:
+        keep = (
+            "mode", "throughput", "speedup", "scaling_efficiency",
+            "scaling_efficiency_median", "wall_spread", "repeats",
+            "criterion", "meets_target", "meets_target_measured",
+            "meets_target_projected", "note",
+        )
+        compact = {k: scaling[k] for k in keep if k in scaling}
+        if "decomposition" in scaling:
+            d = scaling["decomposition"]
+            compact["decomposition"] = {
+                k: d[k]
+                for k in (
+                    "map_speedup", "shuffle_speedup", "map_wall_fraction",
+                    "map_task_cpu_inflation", "inflation_credited",
+                    "projected_efficiency_4n",
+                )
+                if k in d
+            }
+        result["scaling"] = compact
+    line = json.dumps(result, separators=(",", ":"))
+    # the driver's tail capture is ~2 KB: never exceed it (BENCH_FULL.json
+    # keeps everything; the stdout line is the driver contract)
+    if len(line) > 1900:
+        result["scaling"] = {
+            k: result["scaling"].get(k)
+            for k in ("scaling_efficiency", "scaling_efficiency_median",
+                      "meets_target", "repeats")
+        } if isinstance(result["scaling"], dict) else result["scaling"]
+        line = json.dumps(result, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -42,23 +42,30 @@ def canonicalize_url_py(url: str | None, base: str | None = None) -> str | None:
     engine and the ordering oracle agree byte-for-byte)."""
     if url is None or url == "":
         return None
-    if base:
-        url = urljoin(base, url)
-    parts = urlsplit(url.strip())
-    scheme = parts.scheme.lower() or "https"
-    host = parts.hostname.lower() if parts.hostname else ""
-    port = parts.port
-    netloc = host
-    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
-        netloc = f"{host}:{port}"
-    path = parts.path or "/"
-    q = [
-        (k, v)
-        for k, v in parse_qsl(parts.query, keep_blank_values=True)
-        if k not in CACHE_BUSTER_KEYS
-    ]
-    q.sort()
-    return urlunsplit((scheme, netloc, path, urlencode(q), ""))
+    try:
+        if base:
+            url = urljoin(base, url)
+        parts = urlsplit(url.strip())
+        scheme = parts.scheme.lower() or "https"
+        host = parts.hostname.lower() if parts.hostname else ""
+        # parts.port raises ValueError for out-of-range (>65535) or
+        # non-numeric ports — such links are INVALID, not fatal: return
+        # None like every other unparseable URL, so one malformed href
+        # can never kill a whole wave's Arrow batch
+        port = parts.port
+        netloc = host
+        if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
+            netloc = f"{host}:{port}"
+        path = parts.path or "/"
+        q = [
+            (k, v)
+            for k, v in parse_qsl(parts.query, keep_blank_values=True)
+            if k not in CACHE_BUSTER_KEYS
+        ]
+        q.sort()
+        return urlunsplit((scheme, netloc, path, urlencode(q), ""))
+    except ValueError:
+        return None
 
 
 @F.pandas_udf(T.StringType())
@@ -92,10 +99,17 @@ def canonicalize_url_pd(urls: pd.Series) -> pd.Series:
 # explicitly because urlsplit strips them ANYWHERE (so such URLs must
 # take the Python fallback), while interior spaces in path/fragment are
 # byte-preserved by both sides and therefore plain.
+# Port alternation admits exactly 1-65535 (no leading zeros): the old
+# ':[1-9][0-9]{0,4}' also matched 65536-99999, which urlsplit REJECTS
+# (ValueError) — those URLs claimed the JVM path in hybrid mode (silently
+# canonicalized) while crashing the Arrow UDF in python mode: same crawl,
+# mode-dependent behavior. Out-of-range ports now take the Python path,
+# which maps them to None like every other invalid URL.
 PLAIN_URL_RE = (
     r"^[Hh][Tt][Tt][Pp][Ss]?://"
     r"[A-Za-z0-9.\-]+"
-    r"(:[1-9][0-9]{0,4})?"
+    r"(:([1-9][0-9]{0,3}|[1-5][0-9]{4}|6[0-4][0-9]{3}"
+    r"|65[0-4][0-9]{2}|655[0-2][0-9]|6553[0-5]))?"
     r"(/[^?#\t\n\r ]*)?"
     r"(\?[A-Za-z0-9_.~=&\-]*)?"
     r"(#[^\t\n\r]*)?$"

@@ -64,6 +64,10 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(k > 0, grams).otherwise(F.array()))
 
 
+_WIDE_PLAN_NODES = ("Join ", "Aggregate [", "Window [", "Sort [",
+                    "Deduplicate [", "RepartitionByExpression")
+
+
 def _spread(documents: DataFrame) -> DataFrame:
     """Parallelize the O(text-length) shingle work when the input arrives
     in fewer partitions than the session can use — typical for small
@@ -71,7 +75,17 @@ def _spread(documents: DataFrame) -> DataFrame:
     5-second explosion that 32 cores could do in 0.2 s (measured: the
     4 shingle branches of the Jaccard plan each ran as ONE task). A no-op
     at scale: inputs ≥ half the parallelism pass through untouched, so no
-    shuffle is added to a 100 TB scan that is already wide."""
+    shuffle is added to a 100 TB scan that is already wide.
+
+    Partition count is probed via .rdd ONLY for scan-rooted plans: with
+    AQE enabled, .rdd on a derived plan finalizes it and eagerly executes
+    its upstream shuffle stages (not reused by the later action — e.g.
+    corpus_keep's survivors would run quality/lang/dedup twice), and the
+    observed count is the post-AQE-coalesce one anyway. Derived inputs
+    pass through untouched — their upstream shuffle already spread them."""
+    plan = documents._jdf.queryExecution().analyzed().toString()
+    if any(tok in plan for tok in _WIDE_PLAN_NODES):
+        return documents
     target = documents.sparkSession.sparkContext.defaultParallelism
     if documents.rdd.getNumPartitions() * 2 <= target:
         return documents.repartition(target)
@@ -84,8 +98,21 @@ def _exploded_shingles(documents: DataFrame, n: int) -> DataFrame:
     )
 
 
+def shingle_hash_sets(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh array<bigint>): each document's distinct word-n-gram
+    set as xxhash64 values — the shared input of fingerprinting
+    (simhash_shingle) and exact verification (verify_pairs_jaccard).
+    Computing it once and persisting saves a second full document scan +
+    O(len) shingle transform when a pipeline needs both (at corpus scale
+    prefer materializing it to a table over in-memory persist)."""
+    return _spread(documents).select(
+        F.col("doc_id"),
+        F.transform(shingles(F.col("text"), n), lambda s: F.xxhash64(s)).alias("sh"),
+    )
+
+
 def verify_pairs_jaccard(documents: DataFrame, pairs: DataFrame,
-                         n: int = 3) -> DataFrame:
+                         n: int = 3, sets_: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard for CANDIDATE pairs (id_a, id_b): join each side to
     its distinct-shingle set, then per-row ``array_intersect`` /
     ``array_union``. No shuffle explosion — candidate count, not corpus
@@ -96,11 +123,12 @@ def verify_pairs_jaccard(documents: DataFrame, pairs: DataFrame,
     per-pair intersect on longs is ~10× cheaper in both shuffle width and
     compare cost (measured 45 s → ~4 s on 83k template-heavy candidates),
     and a 2^-64 hash collision is the same accepted risk exact_dedup
-    documents."""
-    sets_ = _spread(documents).select(
-        F.col("doc_id"),
-        F.transform(shingles(F.col("text"), n), lambda s: F.xxhash64(s)).alias("sh"),
-    )
+    documents.
+
+    ``sets_``: pre-computed ``shingle_hash_sets`` frame (pass a persisted
+    one to share the shingle materialization with fingerprinting)."""
+    if sets_ is None:
+        sets_ = shingle_hash_sets(documents, n)
     return (
         pairs.select("id_a", "id_b")
         .join(sets_.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -180,7 +208,14 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.8
     max df ≈ 9 at sf0.01 vs cap 1000, so the uncapped all-pairs SQL
     remains a genuine oracle); where it binds at web scale, similarity
     owed purely to boilerplate is deliberately not counted
-    (``stop_shingle_stats`` reports the excluded mass)."""
+    (``stop_shingle_stats`` reports the excluded mass; bench.py records
+    it as ``shingle_df_cap`` in every bench JSON).
+
+    NOT interchangeable with ``simhash_verified_pairs`` when the cap
+    binds: that path verifies candidates with verify_pairs_jaccard over
+    FULL shingle sets (its candidate stage has no df cap), so the two
+    operators agree exactly on fixtures but diverge on boilerplate-heavy
+    pairs at web scale — sub-cap Jaccard here, full Jaccard there."""
     ex = _exploded_shingles(documents, n)
     if max_shingle_df is not None:
         rare = (
@@ -335,18 +370,19 @@ def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return _simhash_votes(toks)
 
 
-def simhash_shingle(documents: DataFrame, n: int = 3) -> DataFrame:
+def simhash_shingle(documents: DataFrame, n: int = 3,
+                    sets_: DataFrame | None = None) -> DataFrame:
     """Shingle-feature simhash: features are word n-gram hashes, so the
     fingerprint estimates the SHINGLE-set angle — hamming correlates with
     n-gram Jaccard (token-feature simhash does not separate template-heavy
     corpora: docs sharing vocabulary but not phrasing sit at hamming ≤16,
-    measured 83k candidates on 5k docs vs 4k with shingle features)."""
-    feats = _spread(documents).select(
-        "doc_id",
-        F.explode(
-            F.transform(shingles(F.col("text"), n), lambda s: F.xxhash64(s))
-        ).alias("th"),
-    )
+    measured 83k candidates on 5k docs vs 4k with shingle features).
+
+    ``sets_``: pre-computed ``shingle_hash_sets`` frame to explode instead
+    of re-scanning/re-shingling the documents."""
+    if sets_ is None:
+        sets_ = shingle_hash_sets(documents, n)
+    feats = sets_.select("doc_id", F.explode(F.col("sh")).alias("th"))
     return _simhash_votes(feats)
 
 
@@ -454,12 +490,18 @@ def simhash_rotated_band_candidates(sh: DataFrame, width: int = 8,
 def simhash_verified_pairs(documents: DataFrame, n: int = 3,
                            threshold: float = 0.5, width: int = 8,
                            offsets: tuple[int, ...] = (0, 2, 4, 6),
-                           max_hamming: int = 20) -> DataFrame:
+                           max_hamming: int = 20,
+                           persist_sets: bool = True) -> DataFrame:
     """SimHash near-dup pairs verified by TRUE n-gram Jaccard.
 
     Pipeline: shingle-feature simhash → rotated-window band candidates
     (hamming-screened at ``max_hamming``) → exact-Jaccard verify at
-    ``threshold``. Shingle features make hamming track Jaccard (near-dups
+    ``threshold``. The verify stage scores FULL shingle sets (no df
+    cap), unlike ``ngram_jaccard_pairs`` whose Jaccard is over sub-cap
+    sets when ``max_shingle_df`` binds — identical on the fixtures
+    (cap never binds), deliberately different on boilerplate-heavy
+    pairs at web scale; don't treat the two paths as interchangeable
+    there. Shingle features make hamming track Jaccard (near-dups
     at j≥0.5 sit at hamming ≤12 here; token features would put half the
     template-heavy corpus there); the hamming screen then removes the
     unrelated band collisions narrow windows admit (random pairs sit at
@@ -473,10 +515,23 @@ def simhash_verified_pairs(documents: DataFrame, n: int = 3,
     the hamming screen keeps the verify stage at true-candidate volume
     but the band join itself still grows — widen to 16-bit windows with
     more rotations there (recall becomes probabilistic — re-pin on a
-    fixture of the target corpus)."""
+    fixture of the target corpus).
+
+    The (doc_id, shingle-hash array) frame is computed ONCE and persisted
+    (``shingle_hash_sets``) and feeds both the fingerprint votes and the
+    exact verify — previously each stage re-scanned the documents and
+    re-ran the O(len) shingle transform (two full extra passes; the r2
+    bench's costliest headline query). ``persist_sets=False`` skips the
+    in-memory persist (at 100 TB materialize the frame to a table
+    instead — a persisted corpus-wide array column would overrun the
+    storage pool)."""
+    sets_ = shingle_hash_sets(documents, n)
+    if persist_sets:
+        sets_ = sets_.persist()
     cand = simhash_rotated_band_candidates(
-        simhash_shingle(documents, n), width, offsets, max_hamming=max_hamming
+        simhash_shingle(documents, n, sets_=sets_), width, offsets,
+        max_hamming=max_hamming,
     )
-    return verify_pairs_jaccard(documents, cand, n).filter(
+    return verify_pairs_jaccard(documents, cand, n, sets_=sets_).filter(
         F.col("jaccard") >= threshold
     )

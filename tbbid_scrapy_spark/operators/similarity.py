@@ -55,8 +55,9 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     Output: (query_id, vec_id, cos) with rank ≤ k per query, ties broken
-    by vec_id for determinism. The broadcast makes this a map-only stage
-    followed by one shuffle for the per-query window."""
+    by vec_id for determinism. The broadcast makes this a map-only stage;
+    ranking is the two-phase salted top-k (no single task ever sees a
+    query's full scored corpus)."""
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -65,18 +66,15 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
         "vec_id",
         cosine(F.col("embedding"), F.col("q_emb")).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos", "rank")
-    )
+    return topk_per_query(scored, k)
 
 
-def _hyperplane_sig(emb: Column, dim: int, n_planes: int, seed: int = 42) -> Column:
+def _hyperplane_sig(emb: Column, dim: int, n_planes: int, seed: int = 42,
+                    plane_offset: int = 0) -> Column:
     """Sign-bit LSH signature as a bigint. Plane p's component for dim d is
     a deterministic pseudo-random ±1/odd value from xxhash64(d, p, seed);
-    signature bit p = [dot(emb, plane_p) > 0]."""
+    signature bit p = [dot(emb, plane_p) > 0]. ``plane_offset`` shifts the
+    plane indices so disjoint bands draw disjoint hyperplanes."""
     bits = []
     for p in range(n_planes):
         comp = F.aggregate(
@@ -85,7 +83,7 @@ def _hyperplane_sig(emb: Column, dim: int, n_planes: int, seed: int = 42) -> Col
                 F.sequence(F.lit(0), F.size(emb) - 1),
                 lambda x, d: (
                     x.cast("double")
-                    * (F.xxhash64(d, F.lit(p), F.lit(seed)) % 1000 - 499.5)
+                    * (F.xxhash64(d, F.lit(p + plane_offset), F.lit(seed)) % 1000 - 499.5)
                 ),
             ),
             F.lit(0.0),
@@ -97,6 +95,44 @@ def _hyperplane_sig(emb: Column, dim: int, n_planes: int, seed: int = 42) -> Col
     for b in bits[1:]:
         sig = sig.bitwiseOR(b)
     return sig
+
+
+def _band_sigs(emb: Column, n_bands: int, n_planes: int, seed: int = 42) -> Column:
+    """Array of ``n_bands`` independent sign-bit band signatures; band i
+    uses hyperplanes [i*n_planes, (i+1)*n_planes). For a pair at angle θ
+    (p = 1 - θ/π per plane) the chance some band collides is
+    1 - (1 - p^n_planes)^n_bands — the OR-over-bands that takes
+    per-bucket recall ~0.43 at cos 0.95 (8 planes) to ~0.99 at 8 bands."""
+    return F.array(
+        *[
+            _hyperplane_sig(emb, 0, n_planes, seed, plane_offset=i * n_planes)
+            for i in range(n_bands)
+        ]
+    )
+
+
+def topk_per_query(scored: DataFrame, k: int, salt_buckets: int = 32) -> DataFrame:
+    """Two-phase per-query top-k over (query_id, vec_id, cos): local
+    row_number per (query_id, salt-of-vec_id) keeps ≤ k rows per salt
+    bucket, then the global per-query rank runs over ≤ k·salt_buckets
+    survivors. A single ``row_number() OVER (PARTITION BY query_id)``
+    would funnel every scored candidate of a query through ONE task —
+    invisible at fixture scale, a straggler at 10^10-vector corpora
+    (same pattern as operators/frontier.politeness_rank)."""
+    loc = Window.partitionBy(
+        "query_id", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(salt_buckets)).alias("_salt")
+    ).orderBy(F.col("cos").desc(), F.col("vec_id"))
+    pruned = (
+        scored.withColumn("_lr", F.row_number().over(loc))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
 
 
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -115,12 +151,7 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     ).select(
         "query_id", "vec_id", cosine(F.col("embedding"), F.col("q_emb")).alias("cos")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos", "rank")
-    )
+    return topk_per_query(scored, k)
 
 
 def ivf_index(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
@@ -222,43 +253,70 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("_pr") <= n_probe)
         .select("query_id", "q_emb", "cid")
     )
-    scored = assigned.join(F.broadcast(probes), on="cid").filter(
+    # probes carries (query · probe) rows incl. the full q_emb array — NOT
+    # hint-forced: at a large query set a forced broadcast is the driver-
+    # OOM pattern removed from politeness_rank; AQE/autoBroadcastJoin
+    # broadcasts it whenever it is actually small (true at fixtures).
+    scored = assigned.join(probes, on="cid").filter(
         F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id", "vec_id", cosine(F.col("embedding"), F.col("q_emb")).alias("cos")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos", "rank")
-    )
+    return topk_per_query(scored, k)
 
 
 def pairs_above(corpus: DataFrame, threshold: float = 0.95,
-                n_planes: int = 8, seed: int = 42, exact: bool = False) -> DataFrame:
+                n_planes: int = 8, n_bands: int = 8, seed: int = 42,
+                exact: bool = False) -> DataFrame:
     """Embedding near-dup pairs with cosine ≥ threshold.
 
-    exact=True does the all-pairs join (audit scale only); default routes
-    through LSH buckets — at high thresholds near-dups land in the same
-    bucket with high probability."""
+    Default path: BANDED random-hyperplane LSH — ``n_bands`` independent
+    sign-bit signatures of ``n_planes`` planes each, candidates = pairs
+    colliding in ≥1 band (same OR-over-bands shape as
+    dedup.minhash_lsh_candidates), then exact cosine re-score + threshold
+    filter. A single 8-plane bucket recalls only ~(1-acos(τ)/π)^8 ≈ 0.43
+    of true pairs at τ=0.95; 8 bands lift that to 1-(1-0.43)^8 ≈ 0.99
+    (→ ~1.0 for the tighter pairs near-dup corpora actually contain).
+    Recall == exact is pinned on PLANTED near-dup embeddings in
+    tests/test_operators_similarity.py (non-empty pair set; the pin fails
+    if banding is removed).
+
+    The band self-join carries only (vec_id, band, sig) — embeddings
+    never ride the candidate shuffle; they join back for the exact
+    re-score, so candidate count (not corpus size) drives verify cost.
+
+    exact=True does the all-pairs join (audit scale only)."""
+    emb = corpus.select("vec_id", "embedding")
     if exact:
-        a = corpus.alias("a")
-        b = corpus.alias("b")
-        joined = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-    else:
-        withb = corpus.withColumn(
-            "bucket", _hyperplane_sig(F.col("embedding"), 0, n_planes, seed)
+        a = emb.alias("a")
+        b = emb.alias("b")
+        cand = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
         )
-        a = withb.alias("a")
-        b = withb.alias("b")
-        joined = a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
-                               F.col("a.vec_id") < F.col("b.vec_id")])
+    else:
+        band_rows = emb.select(
+            "vec_id",
+            F.posexplode(
+                _band_sigs(F.col("embedding"), n_bands, n_planes, seed)
+            ).alias("band", "sig"),
+        )
+        a = band_rows.alias("a")
+        b = band_rows.alias("b")
+        cand = (
+            a.join(b, on=["band", "sig"])
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    e_a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    e_b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
     return (
-        joined.select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        cand.join(e_a, "id_a")
+        .join(e_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("emb_a"), F.col("emb_b")).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -200,6 +200,9 @@ def test_jvm_canonicalizer_byte_equal_on_plain(spark):
         "https://h.org:0080/p",           # leading-zero port
         "https://h.org/a\tb",             # tab: urlsplit strips it anywhere
         "https://h.org/a b",              # space in path: parse_url rejects
+        "https://h.org:65536/p",          # port out of range: urlsplit rejects
+        "https://h.org:70000/p",          # port out of range (5-digit)
+        "https://h.org:99999/p",          # old regex's upper admit bound
     ]
     df = spark.createDataFrame([(u,) for u in urls + non_plain], "url string")
     rows = df.select(

@@ -328,21 +328,35 @@ def test_simhash_hamming_screen_lossless_at_bench_scale(spark):
 
 
 def test_embedding_near_dup_lsh_equals_exact_on_driver_fixture(spark):
-    """Oracle-validity pin for q_embedding_near_dup: the LSH-bucket default
-    must return exactly the exact-join pair set at τ=0.95 on the driver
-    fixture (hyperplanes are xxhash64-seeded → deterministic)."""
+    """Oracle-validity pin for q_embedding_near_dup on the DRIVER fixture
+    with the query's own deterministic perturbed-copy augmentation (the
+    raw fixture has no pair above cos ~0.51 — comparing on it alone is
+    the vacuous 0==0 the r2 verdict flagged; the planted-recall pins live
+    in tests/test_operators_similarity.py)."""
     import os
 
     path = "/root/testdata/sf0.001/embeddings.parquet"
     if not os.path.exists(path):
         pytest.skip("driver testdata not present")
-    emb = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(path).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: x + ((F.col("vec_id") * 131 + (i + 1) * 17) % 7 - 3) * 0.004,
+    )
+    aug = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), pert.alias("embedding"))
+    )
     exact = {
         (r.id_a, r.id_b)
-        for r in similarity.pairs_above(emb, threshold=0.95, exact=True).collect()
+        for r in similarity.pairs_above(aug, threshold=0.95, exact=True).collect()
     }
     lsh = {
         (r.id_a, r.id_b)
-        for r in similarity.pairs_above(emb, threshold=0.95).collect()
+        for r in similarity.pairs_above(aug, threshold=0.95).collect()
     }
+    assert len(exact) == 500  # one planted pair per fixture vector
     assert lsh == exact

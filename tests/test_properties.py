@@ -75,6 +75,20 @@ def test_default_ports_dropped(host, path):
     assert ":8443" in canonicalize_url_py(f"https://{host}:8443{path}")
 
 
+@settings(max_examples=200, deadline=None)
+@given(host=hosts, path=paths, port=st.integers(1, 99999))
+def test_out_of_range_ports_invalid_never_fatal(host, path, port):
+    """Ports 65536-99999 parse but are INVALID (urlsplit raises on
+    .port); the canonicalizer must map them to None — never raise — so a
+    single malformed href can't kill an Arrow batch (whole wave) in
+    mode='python'. In-range ports canonicalize normally."""
+    c = canonicalize_url_py(f"https://{host}:{port}{path}")
+    if port <= 65535:
+        assert c is not None and c.startswith("https://")
+    else:
+        assert c is None
+
+
 # ---------------------------------------------------------------------------
 # Chinese numerals (reference semantics, util.py:22-48)
 # ---------------------------------------------------------------------------
