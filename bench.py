@@ -293,8 +293,18 @@ def main() -> None:
             json.dump(result, f, indent=1)
     except OSError as e:
         print(f"# BENCH_FULL.json write failed: {e}", file=sys.stderr)
-    # compact scaling summary for the final stdout line: drop the bulky
-    # per-run sections, keep every number the criterion needs
+    print(compact_result_line(result))
+
+
+def compact_result_line(result: dict, max_bytes: int = 1900) -> str:
+    """The FINAL stdout line of a bench run: the full result with the
+    scaling section slimmed to the criterion numbers (per-run walls and
+    per-level stage splits live in BENCH_FULL.json), guaranteed to fit
+    the driver's ~2 KB output-tail capture. Round 2 lost every bench
+    number by emitting the multi-KB enriched line last — this function
+    (pinned in tests/test_bench_contract.py) is the regression guard."""
+    result = dict(result)
+    scaling = result.get("scaling")
     if scaling and "error" not in scaling:
         keep = (
             "mode", "throughput", "speedup", "scaling_efficiency",
@@ -316,16 +326,18 @@ def main() -> None:
             }
         result["scaling"] = compact
     line = json.dumps(result, separators=(",", ":"))
-    # the driver's tail capture is ~2 KB: never exceed it (BENCH_FULL.json
-    # keeps everything; the stdout line is the driver contract)
-    if len(line) > 1900:
+    if len(line) > max_bytes and isinstance(result.get("scaling"), dict):
         result["scaling"] = {
             k: result["scaling"].get(k)
             for k in ("scaling_efficiency", "scaling_efficiency_median",
                       "meets_target", "repeats")
-        } if isinstance(result["scaling"], dict) else result["scaling"]
+        }
         line = json.dumps(result, separators=(",", ":"))
-    print(line)
+    if len(line) > max_bytes:
+        # last resort: the criterion numbers beat per-query detail
+        result["queries"] = {}
+        line = json.dumps(result, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

@@ -1,0 +1,118 @@
+"""Bench output-contract pins (no Spark session needed).
+
+Round 2's driver artifact recorded ZERO bench numbers because bench.py
+emitted a multi-KB enriched JSON line LAST and the driver keeps only a
+~2 KB stdout tail — the line was truncated mid-JSON. The contract is
+now: the final stdout line is compact (< 1.9 KB), parseable, and carries
+every number the north_rule criterion needs; full detail goes to
+BENCH_FULL.json. These tests pin that contract against realistic and
+adversarially bloated scaling sections.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def _result(scaling):
+    return {
+        "metric": "headline_queries_total",
+        "value": 23.4,
+        "unit": "sec",
+        "queries": {f"q{i:02d}": 1.234 for i in range(14)},
+        "sf": 0.1,
+        "frontier": {"pages": 44034, "urls_fetched": 31453, "urls_seen": 31453,
+                     "waves": 6, "sec": 43.4, "urls_per_sec": 724.8},
+        "wave": {"urls_in": 2000000, "urls_distinct": 1500000,
+                 "bloom_inserted": 1500000, "sec": 76.0, "urls_per_sec": 26332.2},
+        "shingle_df_cap": {"max_shingle_df": 1000, "n_shingles": 433809,
+                           "shingles_dropped": 0, "rows_dropped": 0},
+        "scaling": scaling,
+        "cpus": 32,
+    }
+
+
+def _full_scaling():
+    """A realistic full scaling dict, including the bulky per-run
+    sections that must NOT reach the final line."""
+    split = {"map_wall_sec": 72.5, "shuffle_wall_sec": 16.1,
+             "map_task_sec": 143.6, "shuffle_task_sec": 31.0,
+             "shuffle_read_mb": 192.3, "shuffle_write_mb": 192.3,
+             "n_map_stages": 11, "n_shuffle_stages": 10,
+             "map_wall_fraction": 0.819}
+    return {
+        "mode": "wave",
+        "levels": {"2": {"urls_in": 4000000, "sec": 170.0, "wall_sec": 170.0,
+                         "work_units": 4000000, "stage_split": split},
+                   "8": {"urls_in": 4000000, "sec": 48.0, "wall_sec": 48.0,
+                         "work_units": 4000000, "stage_split": split}},
+        "all_wall_secs": {"2": [170.0, 181.2, 240.9], "8": [48.0, 52.1, 95.2]},
+        "throughput": {"2": 23529.4, "8": 83333.3},
+        "speedup": 3.542,
+        "scaling_efficiency": 0.885,
+        "scaling_efficiency_median": 0.869,
+        "wall_spread": {"2": [170.0, 240.9], "8": [48.0, 95.2]},
+        "repeats": 3,
+        "criterion": "north_rule: throughput scaling efficiency >= 0.8 "
+                     "from N to 4N (executor proxy: local cores)",
+        "meets_target": True,
+        "meets_target_measured": True,
+        "meets_target_projected": True,
+        "note": "local[2] vs local[8] on one box, best of 3 interleaved "
+                "runs per level; N→4N-executor proxy per BASELINE.md",
+        "decomposition": {
+            "map_wall_sec": {"2": 72.5, "8": 24.0},
+            "shuffle_wall_sec": {"2": 16.1, "8": 3.3},
+            "map_wall_fraction": {"2": 0.819, "8": 0.879},
+            "shuffle_read_mb": 188.3,
+            "map_speedup": 3.025, "shuffle_speedup": 4.876,
+            "map_task_cpu_inflation": 1.286, "inflation_credited": 1.286,
+            "projected_efficiency_4n": 0.97,
+            "projection_argument": "x" * 300,
+        },
+    }
+
+
+def test_final_line_fits_tail_and_parses():
+    line = bench.compact_result_line(_result(_full_scaling()))
+    assert len(line) <= 1900, len(line)
+    d = json.loads(line)
+    # every criterion number survives compaction
+    s = d["scaling"]
+    assert s["scaling_efficiency"] == 0.885
+    assert s["scaling_efficiency_median"] == 0.869
+    assert s["meets_target"] is True and s["meets_target_measured"] is True
+    assert s["decomposition"]["projected_efficiency_4n"] == 0.97
+    assert s["repeats"] == 3 and s["throughput"]["8"] == 83333.3
+    # the bulky per-run sections never reach the tail
+    assert "levels" not in s and "all_wall_secs" not in s
+    # headline numbers intact
+    assert d["value"] == 23.4 and len(d["queries"]) == 14
+    assert d["shingle_df_cap"]["shingles_dropped"] == 0
+
+
+def test_final_line_with_no_scaling():
+    line = bench.compact_result_line(_result(None))
+    d = json.loads(line)
+    assert d["scaling"] is None and len(line) < 1900
+
+
+def test_final_line_with_scaling_error():
+    line = bench.compact_result_line(_result({"error": "boom " * 80}))
+    d = json.loads(line)
+    assert "error" in d["scaling"] and len(line) < 1900
+
+
+def test_adversarially_bloated_sections_still_fit():
+    s = _full_scaling()
+    s["note"] = "n" * 1200  # a future edit bloats a kept field
+    line = bench.compact_result_line(_result(s))
+    assert len(line) <= 1900
+    d = json.loads(line)  # still parseable
+    assert d["scaling"]["scaling_efficiency"] == 0.885
