@@ -308,7 +308,8 @@ def compact_result_line(result: dict, max_bytes: int = 1900) -> str:
     if scaling and "error" not in scaling:
         keep = (
             "mode", "throughput", "speedup", "scaling_efficiency",
-            "scaling_efficiency_median", "wall_spread", "repeats",
+            "scaling_efficiency_median", "pair_efficiencies",
+            "pair_efficiency_best", "wall_spread", "repeats",
             "criterion", "meets_target", "meets_target_measured",
             "meets_target_projected", "note",
         )

@@ -57,6 +57,8 @@ def _full_scaling():
         "speedup": 3.542,
         "scaling_efficiency": 0.885,
         "scaling_efficiency_median": 0.869,
+        "pair_efficiencies": [0.885, 0.869, 0.633],
+        "pair_efficiency_best": 0.885,
         "wall_spread": {"2": [170.0, 240.9], "8": [48.0, 95.2]},
         "repeats": 3,
         "criterion": "north_rule: throughput scaling efficiency >= 0.8 "
@@ -89,6 +91,7 @@ def test_final_line_fits_tail_and_parses():
     assert s["scaling_efficiency_median"] == 0.869
     assert s["meets_target"] is True and s["meets_target_measured"] is True
     assert s["decomposition"]["projected_efficiency_4n"] == 0.97
+    assert s["pair_efficiency_best"] == 0.885 and len(s["pair_efficiencies"]) == 3
     assert s["repeats"] == 3 and s["throughput"]["8"] == 83333.3
     # the bulky per-run sections never reach the tail
     assert "levels" not in s and "all_wall_secs" not in s
