@@ -115,9 +115,12 @@ def bench_wave(spark, n_urls: int = 2_000_000, dup_ratio: float = 0.25) -> dict:
 
     from pyspark.sql import functions as F
 
-    from tbbid_scrapy_spark.operators.bloom import BloomSpec, bloom_insert, bloom_test, empty_shards
+    from tbbid_scrapy_spark.operators.bloom import (
+        BloomSpec,
+        bloom_test_insert,
+        empty_shards,
+    )
     from tbbid_scrapy_spark.operators.frontier import apply_robots_joined
-    from pyspark.sql import Window
 
     n_parts = spark.sparkContext.defaultParallelism * 2
     distinct_n = int(n_urls * (1 - dup_ratio))
@@ -157,18 +160,24 @@ def bench_wave(spark, n_urls: int = 2_000_000, dup_ratio: float = 0.25) -> dict:
         .agg(F.min(F.struct(F.col("seq"), *[F.col(c) for c in payload])).alias("_f"))
         .select("url_hash", "_f.*")
     )
-    verdicts = bloom_test(deduped.select("url_hash"), shards, spec)
+    # fused test+insert — the crawl loop's actual seen-set pipeline
+    # (one cogroup pass instead of two; see operators/bloom.py)
+    fused = bloom_test_insert(deduped.select("url_hash"), shards, spec).persist()
     novel = deduped.join(
-        verdicts.filter(~F.col("maybe_seen")).select("url_hash"),
+        fused.filter((F.col("row_kind") == "v") & ~F.col("maybe_seen"))
+        .select("url_hash"),
         "url_hash", "left_semi",
     ).persist()
-    new_shards = bloom_insert(novel.select("url_hash"), shards, spec)
-    n_inserted = new_shards.agg(F.sum("n_inserted")).collect()[0][0]
+    n_inserted = (
+        fused.filter(F.col("row_kind") == "s")
+        .agg(F.sum("n_inserted")).collect()[0][0]
+    )
     n_novel = novel.count()
     sec = _t.monotonic() - t0
     raw.unpersist()
     shards.unpersist()
     novel.unpersist()
+    fused.unpersist()
     return {
         "urls_in": n_urls,
         "urls_distinct": int(n_novel),

@@ -179,6 +179,108 @@ def bloom_insert(candidates: DataFrame, shards: DataFrame, spec: BloomSpec,
     )
 
 
+def bloom_test_insert(candidates: DataFrame, shards: DataFrame, spec: BloomSpec,
+                      hash_col: str = "url_hash") -> DataFrame:
+    """Fused membership test + insert: ONE cogrouped pass per wave where
+    the split ops take two (each pass = shuffle both sides + an Arrow
+    round-trip). Emits a UNION-shaped frame the caller persists and
+    filters:
+
+    - ``row_kind='v'``: one row per candidate — (hash_col, maybe_seen),
+      tested against the PRE-batch bitset (identical to ``bloom_test``).
+    - ``row_kind='s'``: one row per existing shard — (shard_id, bitset,
+      n_inserted) with every candidate's bits set. Setting bits for a
+      maybe-seen candidate is bitwise idempotent, so the resulting
+      bitset equals test-then-insert-novel exactly; ``n_inserted``
+      counts bloom-fresh candidates (in hybrid mode the split pipeline
+      counted fresh + FP-confirmed-novel — a ≤FP-rate difference in the
+      METADATA counter only, never in membership).
+
+    Shards with no candidates pass through unchanged; shards are never
+    invented for stray shard_ids (candidates there get maybe_seen=False
+    and no shard row — same contract as the split ops)."""
+    from pyspark.sql import types as T
+
+    cand = with_shard_id(candidates.select(hash_col), spec, hash_col)
+    out_schema = T.StructType(
+        [
+            T.StructField("row_kind", T.StringType(), False),
+            T.StructField("shard_id", T.IntegerType(), True),
+            T.StructField("bitset", T.BinaryType(), True),
+            T.StructField("n_inserted", T.LongType(), True),
+            T.StructField(hash_col, T.LongType(), True),
+            T.StructField("maybe_seen", T.BooleanType(), True),
+        ]
+    )
+    empty = pd.DataFrame(
+        {
+            "row_kind": pd.Series(dtype="object"),
+            "shard_id": pd.Series(dtype="int32"),
+            "bitset": pd.Series(dtype="object"),
+            "n_inserted": pd.Series(dtype="int64"),
+            hash_col: pd.Series(dtype="int64"),
+            "maybe_seen": pd.Series(dtype="object"),
+        }
+    )
+
+    def per_shard(key, shard_pdf: pd.DataFrame, cand_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        if cand_pdf.empty and shard_pdf.empty:
+            return empty
+        if cand_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "row_kind": ["s"],
+                    "shard_id": [int(shard_pdf["shard_id"].iloc[0])],
+                    "bitset": [shard_pdf["bitset"].iloc[0]],
+                    "n_inserted": [int(shard_pdf["n_inserted"].iloc[0])],
+                    hash_col: [None],
+                    "maybe_seen": [None],
+                }
+            )
+        hashes = cand_pdf[hash_col].to_numpy()
+        if shard_pdf.empty:
+            seen = np.zeros(len(hashes), dtype=bool)
+        else:
+            bitset = np.frombuffer(shard_pdf["bitset"].iloc[0], dtype=np.uint8).copy()
+            pos = _positions(hashes, spec)
+            seen = _test_bits(bitset, pos)
+            _set_bits(bitset, pos)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "row_kind": ["s"],
+                        "shard_id": [int(shard_pdf["shard_id"].iloc[0])],
+                        "bitset": [bitset.tobytes()],
+                        "n_inserted": [
+                            int(shard_pdf["n_inserted"].iloc[0]) + int((~seen).sum())
+                        ],
+                        hash_col: [None],
+                        "maybe_seen": [None],
+                    }
+                )
+            )
+        out.append(
+            pd.DataFrame(
+                {
+                    "row_kind": "v",
+                    "shard_id": None,
+                    "bitset": None,
+                    "n_inserted": None,
+                    hash_col: hashes,
+                    "maybe_seen": seen,
+                }
+            )
+        )
+        return pd.concat(out, ignore_index=True)
+
+    return (
+        shards.groupBy("shard_id")
+        .cogroup(cand.groupBy("shard_id"))
+        .applyInPandas(per_shard, schema=out_schema)
+    )
+
+
 def bloom_fp_rate(spec: BloomSpec, n_inserted_per_shard: float) -> float:
     """Theoretical FP rate at the given load — used by tests to assert the
     measured rate stays within ~2x of theory."""

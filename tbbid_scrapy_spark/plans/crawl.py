@@ -46,7 +46,12 @@ from pyspark.sql import types as T
 from tbbid_scrapy_spark.fixtures.sitegen import PRIORITY_BY_KIND
 from tbbid_scrapy_spark.functions.urls import with_url_norm
 from tbbid_scrapy_spark.operators import frontier as fops
-from tbbid_scrapy_spark.operators.bloom import BloomSpec, bloom_insert, bloom_test, empty_shards
+from tbbid_scrapy_spark.operators.bloom import (
+    BloomSpec,
+    bloom_insert,
+    bloom_test_insert,
+    empty_shards,
+)
 from tbbid_scrapy_spark.operators.cuckoo import (
     CuckooSpec,
     cuckoo_insert,
@@ -706,33 +711,43 @@ class CrawlEngine:
         # candidate payload must never round-trip through Python (measured
         # ~8x slowdown when it does); verdicts join back on url_hash,
         # whose hash-partitioning the preceding dedup already established.
+        # Bloom modes run the FUSED test+insert (operators/bloom.py
+        # bloom_test_insert): one cogroup pass yields both the verdicts
+        # and the updated shard table — setting bits for a maybe-seen
+        # candidate is idempotent, so the bitset equals the old
+        # test-then-insert-novel exactly (fused == split pinned in
+        # tests/test_bloom.py); the split pipeline paid a second
+        # shuffle+Arrow pass per wave for the same result.
+        fused_seen = None
         if cfg.seen_mode == "exact":
             children = children.join(
                 st.seen.select("url_hash"), "url_hash", "left_anti"
             )
-        elif cfg.seen_mode in ("bloom", "cuckoo"):
-            test_fn, spec = (
-                (bloom_test, cfg.bloom_spec)
-                if cfg.seen_mode == "bloom"
-                else (cuckoo_test, cfg.cuckoo_spec)
+        elif cfg.seen_mode == "cuckoo":
+            verdicts = cuckoo_test(
+                children.select("url_hash"), st.shards, cfg.cuckoo_spec
             )
-            verdicts = test_fn(children.select("url_hash"), st.shards, spec)
             children = children.join(
                 verdicts.filter(~F.col("maybe_seen")).select("url_hash"),
                 "url_hash", "left_semi",
             )
-        else:  # hybrid
-            verdicts = bloom_test(
+        else:  # bloom / hybrid
+            fused_seen = bloom_test_insert(
                 children.select("url_hash"), st.shards, cfg.bloom_spec
+            ).persist()
+            verdicts = fused_seen.filter(F.col("row_kind") == "v").select(
+                "url_hash", "maybe_seen"
             )
             fresh_keys = verdicts.filter(~F.col("maybe_seen")).select("url_hash")
-            maybe_keys = verdicts.filter(F.col("maybe_seen")).select("url_hash")
-            confirmed_keys = maybe_keys.join(
-                st.seen.select("url_hash"), "url_hash", "left_anti"
-            )
-            children = children.join(
-                fresh_keys.unionByName(confirmed_keys), "url_hash", "left_semi"
-            )
+            if cfg.seen_mode == "bloom":
+                keep_keys = fresh_keys
+            else:  # hybrid: exact-confirm the bloom-positive sliver
+                maybe_keys = verdicts.filter(F.col("maybe_seen")).select("url_hash")
+                confirmed_keys = maybe_keys.join(
+                    st.seen.select("url_hash"), "url_hash", "left_anti"
+                )
+                keep_keys = fresh_keys.unionByName(confirmed_keys)
+            children = children.join(keep_keys, "url_hash", "left_semi")
 
         # enqueue keys over the deduped children; the frame is persisted so
         # shards/frontier/seen below reuse one materialization
@@ -781,6 +796,11 @@ class CrawlEngine:
             if cfg.seen_mode == "cuckoo":
                 new_shards = cuckoo_insert(
                     children.select("url_hash"), st.shards, cfg.cuckoo_spec
+                )
+            elif fused_seen is not None:
+                # bits were already set in the fused test+insert pass
+                new_shards = fused_seen.filter(F.col("row_kind") == "s").select(
+                    "shard_id", "bitset", "n_inserted"
                 )
             else:
                 new_shards = bloom_insert(
@@ -865,7 +885,7 @@ class CrawlEngine:
         # release this wave's scratch blocks; state tables live in the
         # fresh localCheckpoint/snapshot, so nothing downstream needs them
         fetched.unpersist()
-        for h in (h_batch, h_children):
+        for h in (h_batch, h_children, fused_seen):
             if h is not None:
                 h.unpersist()
         for old in (st.pending, *st.seen_parts, st.shards):

@@ -54,3 +54,45 @@ def test_insert_preserves_untouched_shards(spark):
     shards2 = bloom_insert(one, shards, spec)
     assert shards2.count() == 16
     assert shards2.agg(F.sum("n_inserted")).collect()[0][0] == 1
+
+
+def test_fused_test_insert_equals_split_ops(spark):
+    """bloom_test_insert must agree EXACTLY with the split pipeline:
+    verdicts == bloom_test against the pre-batch bitset, and the updated
+    shard table (bitset AND n_inserted) == bloom_insert of the bloom-
+    fresh candidates — including candidate-less shards passing through
+    and in-batch FP behavior."""
+    from tbbid_scrapy_spark.operators.bloom import bloom_test_insert
+
+    spec = BloomSpec.for_capacity(expected_n=3000, fp_rate=0.01, n_shards=8)
+    base = bloom_insert(_hashes(spark, 0, 1500), empty_shards(spark, spec), spec)
+    base = base.persist()
+    base.count()
+    # candidates: 500 already-seen + 700 novel (some shards get nothing)
+    cand = _hashes(spark, 1000, 1200)
+
+    fused = bloom_test_insert(cand, base, spec).persist()
+    v_fused = {
+        (r.url_hash, r.maybe_seen)
+        for r in fused.filter(F.col("row_kind") == "v")
+        .select("url_hash", "maybe_seen").collect()
+    }
+    v_split = {
+        (r.url_hash, r.maybe_seen)
+        for r in bloom_test(cand, base, spec).collect()
+    }
+    assert v_fused == v_split and len(v_fused) == 1200
+
+    fresh = bloom_test(cand, base, spec).filter(~F.col("maybe_seen")).select("url_hash")
+    s_split = {
+        r.shard_id: (bytes(r.bitset), r.n_inserted)
+        for r in bloom_insert(fresh, base, spec).collect()
+    }
+    s_fused = {
+        r.shard_id: (bytes(r.bitset), r.n_inserted)
+        for r in fused.filter(F.col("row_kind") == "s")
+        .select("shard_id", "bitset", "n_inserted").collect()
+    }
+    assert s_fused == s_split
+    assert len(s_fused) == spec.n_shards  # every shard row present
+    fused.unpersist(); base.unpersist()
