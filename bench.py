@@ -43,6 +43,7 @@ HEADLINE = [
     "lang_id",
     "cosine_topk",
     "embedding_near_dup",
+    "corpus_filter",
     "merge_upsert",
 ]
 

@@ -77,15 +77,24 @@ def _spread(documents: DataFrame) -> DataFrame:
     at scale: inputs ≥ half the parallelism pass through untouched, so no
     shuffle is added to a 100 TB scan that is already wide.
 
-    Partition count is probed via .rdd ONLY for scan-rooted plans: with
-    AQE enabled, .rdd on a derived plan finalizes it and eagerly executes
-    its upstream shuffle stages (not reused by the later action — e.g.
-    corpus_keep's survivors would run quality/lang/dedup twice), and the
-    observed count is the post-AQE-coalesce one anyway. Derived inputs
-    pass through untouched — their upstream shuffle already spread them."""
-    plan = documents._jdf.queryExecution().analyzed().toString()
-    if any(tok in plan for tok in _WIDE_PLAN_NODES):
-        return documents
+    Partition count is probed via .rdd ONLY for scan-rooted plans or
+    PERSISTED inputs: with AQE enabled, .rdd on an uncached derived plan
+    finalizes it and eagerly executes its upstream shuffle stages (not
+    reused by the later action — e.g. corpus_keep's survivors would run
+    quality/lang/dedup twice). For a persisted frame the eager execution
+    fills the cache, which every later action reuses — and probing it
+    matters: AQE coalesces a small join/agg output down to 1-2 cached
+    partitions, which would single-thread the shingle explosion (the
+    exact cliff this helper exists for; corpus_keep hit it through a
+    PROJECTION of its persisted survivors — a projection reports no
+    storage level, so it re-spreads narrow caches itself, measured
+    14.5 s vs 3.6 s at sf0.1, operators/text.py). Uncached derived
+    inputs pass through untouched."""
+    lvl = documents.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        plan = documents._jdf.queryExecution().analyzed().toString()
+        if any(tok in plan for tok in _WIDE_PLAN_NODES):
+            return documents
     target = documents.sparkSession.sparkContext.defaultParallelism
     if documents.rdd.getNumPartitions() * 2 <= target:
         return documents.repartition(target)
