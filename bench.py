@@ -216,6 +216,12 @@ def main() -> None:
         n = df.count()  # materialize fully
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # several operators persist scratch frames (shingle sets, corpus
+        # survivors, LSH signatures) — drop them between queries so one
+        # query's leftover blocks can't evict another's working set
+        # (storage-pool pressure made identical queries swing 4→13 s
+        # run-to-run before this)
+        spark.catalog.clearCache()
 
     # no-silent-caps: how much shingle mass the default df cap excluded
     # from the near-dup queries above (0 at every shipped fixture — the
