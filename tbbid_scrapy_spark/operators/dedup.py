@@ -77,28 +77,36 @@ def _spread(documents: DataFrame) -> DataFrame:
     at scale: inputs ≥ half the parallelism pass through untouched, so no
     shuffle is added to a 100 TB scan that is already wide.
 
-    Partition count is probed via .rdd ONLY for scan-rooted plans or
-    PERSISTED inputs: with AQE enabled, .rdd on an uncached derived plan
-    finalizes it and eagerly executes its upstream shuffle stages (not
-    reused by the later action — e.g. corpus_keep's survivors would run
-    quality/lang/dedup twice). For a persisted frame the eager execution
-    fills the cache, which every later action reuses — and probing it
-    matters: AQE coalesces a small join/agg output down to 1-2 cached
-    partitions, which would single-thread the shingle explosion (the
-    exact cliff this helper exists for; corpus_keep hit it through a
-    PROJECTION of its persisted survivors — a projection reports no
-    storage level, so it re-spreads narrow caches itself, measured
-    14.5 s vs 3.6 s at sf0.1, operators/text.py). Uncached derived
-    inputs pass through untouched."""
-    lvl = documents.storageLevel
-    if not (lvl.useMemory or lvl.useDisk):
-        plan = documents._jdf.queryExecution().analyzed().toString()
-        if any(tok in plan for tok in _WIDE_PLAN_NODES):
-            return documents
+    Partition count comes from ``safe_num_partitions``: probed via .rdd
+    only where that cannot waste work (scan-rooted or persisted plans);
+    uncached derived inputs pass through untouched — with AQE enabled,
+    .rdd on them finalizes the plan and eagerly executes its upstream
+    shuffle stages, unreused by the later action. Derived-but-NARROW
+    inputs are the caller's job to widen before handing them here: AQE
+    coalesces a small join/agg output to ONE partition, which would
+    single-thread both the cache-fill and the shingle work —
+    corpus_keep repartitions its survivors pre-persist when the input
+    scan is narrow (measured 14.5 s vs 3.6 s at sf0.1,
+    operators/text.py)."""
     target = documents.sparkSession.sparkContext.defaultParallelism
-    if documents.rdd.getNumPartitions() * 2 <= target:
+    n = safe_num_partitions(documents)
+    if n is not None and n * 2 <= target:
         return documents.repartition(target)
     return documents
+
+
+def safe_num_partitions(df: DataFrame) -> int | None:
+    """Partition count via .rdd, probed ONLY when that cannot trigger
+    wasted work: scan-rooted plans execute nothing, persisted frames
+    fill a cache every later action reuses. Returns None for uncached
+    derived plans (where AQE would finalize and eagerly run the upstream
+    shuffles, unreused) — callers treat None as 'already wide'."""
+    lvl = df.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(tok in plan for tok in _WIDE_PLAN_NODES):
+            return None
+    return df.rdd.getNumPartitions()
 
 
 def _exploded_shingles(documents: DataFrame, n: int) -> DataFrame:

@@ -187,16 +187,18 @@ def corpus_keep(documents: DataFrame, min_words: int = 20,
     keepers = keyed.groupBy("_th").agg(F.min("doc_id").alias("doc_id"))
     survivors = keyed.join(keepers, ["_th", "doc_id"], "left_semi").drop("_th")
     if persist_survivors:
-        survivors = survivors.persist()
-        # AQE coalesces the small semi-join output down to ONE cached
-        # partition, which would single-thread the O(text-length) shingle
-        # pipeline downstream (measured 14.5 s vs 3.6 s at sf0.1) —
-        # re-spread narrow caches; a no-op when survivors are wide
-        # (probing .rdd here fills the cache, which every later branch
-        # reuses)
+        # AQE coalesces the small semi-join output down to ONE partition,
+        # which would single-thread BOTH the cache-fill of the
+        # regex-heavy quality/lang pipeline and the O(text-length)
+        # shingle work downstream (measured 14.5 s vs 3.6 s for the
+        # near-dup stage at sf0.1). Narrowness is decided from the INPUT
+        # scan (safe to probe — executes nothing), so a 100 TB input
+        # never pays a blind repartition: wide in ⇒ wide survivors.
         target = documents.sparkSession.sparkContext.defaultParallelism
-        if survivors.rdd.getNumPartitions() * 2 <= target:
+        n_in = _dedup.safe_num_partitions(documents)
+        if n_in is not None and n_in * 2 <= target:
             survivors = survivors.repartition(target)
+        survivors = survivors.persist()
     pairs = _dedup.ngram_jaccard_pairs(
         survivors.select("doc_id", "text"),
         n=3,
