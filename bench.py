@@ -189,6 +189,7 @@ def bench_wave(spark, n_urls: int = 2_000_000, dup_ratio: float = 0.25) -> dict:
 
 
 def main() -> None:
+    from tbbid_scrapy_spark.operators import scratch
     from tbbid_scrapy_spark.session import get_spark
 
     import __spark_entry__ as entrymod
@@ -220,7 +221,9 @@ def main() -> None:
         # survivors, LSH signatures) — drop them between queries so one
         # query's leftover blocks can't evict another's working set
         # (storage-pool pressure made identical queries swing 4→13 s
-        # run-to-run before this)
+        # run-to-run before this). scratch.release() drops exactly the
+        # operator-registered handles; clearCache sweeps anything else.
+        scratch.release()
         spark.catalog.clearCache()
 
     # no-silent-caps: how much shingle mass the default df cap excluded

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tbbid_scrapy_spark.operators import scratch
+
 
 def normalize_text(col: Column) -> Column:
     """Canonical text form for exact dedup: lowercase, collapse
@@ -65,7 +67,12 @@ def shingles(col: Column, n: int = 3) -> Column:
 
 
 _WIDE_PLAN_NODES = ("Join ", "Aggregate [", "Window [", "Sort [",
-                    "Deduplicate [", "RepartitionByExpression")
+                    "Deduplicate [", "RepartitionByExpression",
+                    # round-robin df.repartition(n) / df.rebalance() have
+                    # no expression list — match their distinct spellings
+                    # (trailing space keeps "Repartition " from matching
+                    # RepartitionByExpression twice)
+                    "Repartition ", "RebalancePartitions")
 
 
 def _spread(documents: DataFrame) -> DataFrame:
@@ -541,10 +548,11 @@ def simhash_verified_pairs(documents: DataFrame, n: int = 3,
     bench's costliest headline query). ``persist_sets=False`` skips the
     in-memory persist (at 100 TB materialize the frame to a table
     instead — a persisted corpus-wide array column would overrun the
-    storage pool)."""
+    storage pool). The persist is registered with ``operators.scratch``;
+    call ``scratch.release()`` after your final action to drop it."""
     sets_ = shingle_hash_sets(documents, n)
     if persist_sets:
-        sets_ = sets_.persist()
+        sets_ = scratch.persist(sets_)
     cand = simhash_rotated_band_candidates(
         simhash_shingle(documents, n, sets_=sets_), width, offsets,
         max_hamming=max_hamming,

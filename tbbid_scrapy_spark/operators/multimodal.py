@@ -98,17 +98,46 @@ def decode_media(df: DataFrame, backend: str = "fake") -> DataFrame:
             "(PIL/ffmpeg) not present in this environment; use 'fake'"
         )
 
+    # the batch kernel is numpy-vectorized end to end — the shape a real
+    # decoder swap-in must follow: per-row Python touches only the fixed
+    # 16-byte header slice (O(rows×16) memcpy into ONE contiguous
+    # buffer); ALL parsing/validation runs as whole-batch numpy ops.
+    # The 16-byte header is 4 big-endian u32s: magic | width | height |
+    # duration_ms.
+    magic_u32 = int.from_bytes(MAGIC, "big")
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = []
-            for b in pdf["content"]:
-                if b is not None and len(b) >= 16 and bytes(b[:4]) == MAGIC:
-                    w, h, d = struct.unpack(">III", bytes(b[4:16]))
-                    metas.append((w, h, d, len(b) - 16))
-                else:
-                    metas.append((None, None, None, None))
+            content = pdf["content"]
+            n = len(content)
+            lens = np.fromiter(
+                (len(b) if b is not None else -1 for b in content),
+                dtype=np.int64, count=n,
+            )
+            has_hdr = lens >= 16
+            widths = np.full(n, np.nan)
+            heights = np.full(n, np.nan)
+            durs = np.full(n, np.nan)
+            payloads = np.full(n, np.nan)
+            if has_hdr.any():
+                prefixes = b"".join(
+                    bytes(b[:16]) for b in content[has_hdr]
+                )
+                quads = np.frombuffer(prefixes, dtype=">u4").reshape(-1, 4)
+                good = quads[:, 0] == magic_u32
+                ok = np.zeros(n, dtype=bool)
+                ok[has_hdr] = good
+                widths[ok] = quads[good, 1]
+                heights[ok] = quads[good, 2]
+                durs[ok] = quads[good, 3]
+                payloads[ok] = lens[ok] - 16
             m = pd.DataFrame(
-                metas, columns=["width", "height", "duration_ms", "payload_bytes"]
+                {
+                    "width": pd.Series(widths).astype("Int32"),
+                    "height": pd.Series(heights).astype("Int32"),
+                    "duration_ms": pd.Series(durs).astype("Int32"),
+                    "payload_bytes": pd.Series(payloads).astype("Int32"),
+                }
             )
             yield pd.concat([pdf.reset_index(drop=True), m], axis=1)
 
@@ -146,24 +175,50 @@ FEATURE_DIM = 8
 
 
 def media_features(df: DataFrame) -> DataFrame:
-    """Deterministic feature extraction (hash-folded bytes → unit vector):
-    the embedding-shaped output real models would produce, computed in a
-    vectorized pandas UDF with numpy — Arrow in, Arrow out."""
+    """Deterministic feature extraction (bytes folded mod FEATURE_DIM →
+    unit vector): the embedding-shaped output real models would produce.
+    The kernel is whole-batch numpy — all payloads of an Arrow batch are
+    concatenated into ONE buffer (per-row Python is only the O(1)
+    ``bytes()`` view), and every row's feature vector is computed by a
+    single ``np.bincount`` over ``row_id·DIM + (pos-within-row mod
+    DIM)``, followed by one vectorized row normalization. Feature j of a
+    row = sum of its payload bytes at positions ≡ j (mod FEATURE_DIM) —
+    identical to reshaping the zero-padded payload to (-1, DIM) and
+    summing axis 0, with zero per-row loops."""
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def feats(content: pd.Series) -> pd.Series:
-        out = []
-        for b in content:
-            if b is None:
-                out.append(None)
-                continue
-            arr = np.frombuffer(bytes(b), dtype=np.uint8)
-            pad = (-len(arr)) % FEATURE_DIM
-            if pad:
-                arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
-            v = arr.reshape(-1, FEATURE_DIM).sum(axis=0).astype(np.float64)
-            norm = np.linalg.norm(v)
-            out.append((v / norm if norm else v).astype(np.float32).tolist())
-        return pd.Series(out, dtype="object")
+        n = len(content)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        vals = content.to_numpy()
+        lens = np.fromiter(
+            (len(b) if b is not None else -1 for b in vals),
+            dtype=np.int64, count=n,
+        )
+        valid = lens >= 0
+        if not valid.any():
+            return pd.Series([None] * n, dtype=object)
+        vlens = lens[valid]
+        allb = np.frombuffer(
+            b"".join(bytes(b) for b in vals[valid]), dtype=np.uint8
+        )
+        row_id = np.repeat(np.arange(len(vlens)), vlens)
+        starts = np.concatenate(([0], np.cumsum(vlens)[:-1]))
+        pos = np.arange(len(allb)) - np.repeat(starts, vlens)
+        flat = row_id * FEATURE_DIM + pos % FEATURE_DIM
+        sums = np.bincount(
+            flat, weights=allb, minlength=len(vlens) * FEATURE_DIM
+        ).reshape(len(vlens), FEATURE_DIM)
+        norms = np.linalg.norm(sums, axis=1)
+        unit = (sums / np.where(norms == 0, 1.0, norms)[:, None]).astype(
+            np.float32
+        )
+        # one list object per row is the Arrow list-column output
+        # contract; everything above is whole-batch numpy
+        vec_iter = iter(unit.tolist())
+        return pd.Series(
+            [next(vec_iter) if v else None for v in valid], dtype=object
+        )
 
     return df.withColumn("features", feats(F.col("content")))

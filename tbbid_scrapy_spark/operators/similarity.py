@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 from pyspark.sql import types as T
 
+from tbbid_scrapy_spark.operators import scratch
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -85,7 +87,15 @@ def _band_sigs_pd(n_bands: int, n_planes: int, seed: int):
     320 planes (measured ~11 s); the matmul is ~30 ms. Map-only (no
     shuffle), so the swap is pure win at any scale. Hyperplanes are
     Gaussian from a seed derived only from (seed, dim): deterministic
-    across partitions, batches, and runs. Embeddings must be non-null."""
+    across partitions, batches, and runs.
+
+    Bad rows don't kill the batch: a null embedding, or one whose length
+    differs from the batch's first valid row (ragged data), gets a NULL
+    signature instead of letting ``np.vstack`` raise and fail the whole
+    Arrow batch — the one-bad-row-kills-the-stage failure class. NULL
+    signatures explode to zero band rows downstream, so such vectors
+    simply never become candidates (callers also pre-filter nulls
+    JVM-side to keep them out of the Arrow transfer)."""
     import numpy as np
 
     total = n_bands * n_planes
@@ -94,13 +104,28 @@ def _band_sigs_pd(n_bands: int, n_planes: int, seed: int):
     def sigs(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype="object")
-        m = np.vstack(emb.to_numpy())                       # N × dim
-        rng = np.random.default_rng(seed * 1_000_003 + m.shape[1])
-        planes = rng.standard_normal((m.shape[1], total))   # dim × total
+        vals = emb.to_numpy()
+        lens = np.fromiter(
+            (len(v) if v is not None else -1 for v in vals),
+            dtype=np.int64, count=len(vals),
+        )
+        valid = lens > 0
+        if not valid.any():
+            return pd.Series([None] * len(vals), dtype=object)
+        dim = int(lens[valid.argmax()])          # first valid row's dim
+        good = lens == dim
+        m = np.vstack(vals[good])                           # N × dim
+        rng = np.random.default_rng(seed * 1_000_003 + dim)
+        planes = rng.standard_normal((dim, total))          # dim × total
         bits = (m @ planes) > 0                             # N × total
         w = 1 << np.arange(n_planes, dtype=np.int64)
         packed = bits.reshape(len(m), n_bands, n_planes) @ w  # N × n_bands
-        return pd.Series(packed.tolist())
+        # materializing one list object per row is the Arrow list-column
+        # output contract; the math above is all whole-batch numpy
+        sig_iter = iter(packed.tolist())
+        return pd.Series(
+            [next(sig_iter) if g else None for g in good], dtype=object
+        )
 
     return sigs
 
@@ -142,11 +167,11 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     single-bucket design was the measured ~0.43-at-τ=0.95 weak spot.
     Signatures ride the same Arrow-batched matmul as pairs_above."""
     sig = _band_sigs_pd(n_bands, n_planes, seed)
-    sig_corpus = corpus.select(
+    sig_corpus = corpus.filter(F.col("embedding").isNotNull()).select(
         "vec_id", "embedding",
         F.posexplode(sig(F.col("embedding"))).alias("band", "bucket"),
     )
-    q = queries.select(
+    q = queries.filter(F.col("embedding").isNotNull()).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     ).select(
         "query_id", "q_emb",
@@ -328,10 +353,18 @@ def pairs_above(corpus: DataFrame, threshold: float = 0.95,
     self-join computes the n_bands·n_planes interpreted plane dots once
     per vector, not twice (at 10^10 vectors that persist is
     ~rows×(n_bands+1)×8 B, MEMORY_AND_DISK — prefer materializing to a
-    table there).
+    table there). The persist is registered with ``operators.scratch``:
+    call ``scratch.release()`` after your final action to drop it
+    (long-lived sessions would otherwise accumulate storage-pool
+    pressure across repeated operator calls).
 
     exact=True does the all-pairs join (audit scale only)."""
-    emb = corpus.select("vec_id", "embedding")
+    # null embeddings can't be near-duplicates of anything: drop them
+    # JVM-side so they never ride the Arrow transfer into the signature
+    # UDF (which would null-sig them anyway — see _band_sigs_pd)
+    emb = corpus.select("vec_id", "embedding").filter(
+        F.col("embedding").isNotNull()
+    )
     if exact:
         a = emb.alias("a")
         b = emb.alias("b")
@@ -352,7 +385,7 @@ def pairs_above(corpus: DataFrame, threshold: float = 0.95,
             _band_sigs_pd(n_bands, n_planes, seed)(F.col("embedding")).alias("sigs"),
         )
         if persist_sigs:
-            sig_frame = sig_frame.persist()
+            sig_frame = scratch.persist(sig_frame)
         if screen:
             full = F.lit(0).cast("long")
             for i in range(n_bands):

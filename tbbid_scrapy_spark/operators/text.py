@@ -166,8 +166,11 @@ def corpus_keep(documents: DataFrame, min_words: int = 20,
     plus the final anti-join — without the persist the quality/lang/
     exact-dedup pipeline (regex-heavy lang_id included) re-executes ~5×
     (measured 17 s → 6.5 s at sf0.1). At 100 TB prefer materializing
-    survivors to a table; the persist is MEMORY_AND_DISK either way."""
+    survivors to a table; the persist is MEMORY_AND_DISK either way,
+    registered with ``operators.scratch`` — call ``scratch.release()``
+    after the final action to free it."""
     from tbbid_scrapy_spark.operators import dedup as _dedup
+    from tbbid_scrapy_spark.operators import scratch as _scratch
 
     c = F.col("text")
     f = quality_features(c)
@@ -198,7 +201,7 @@ def corpus_keep(documents: DataFrame, min_words: int = 20,
         n_in = _dedup.safe_num_partitions(documents)
         if n_in is not None and n_in * 2 <= target:
             survivors = survivors.repartition(target)
-        survivors = survivors.persist()
+        survivors = _scratch.persist(survivors)
     pairs = _dedup.ngram_jaccard_pairs(
         survivors.select("doc_id", "text"),
         n=3,

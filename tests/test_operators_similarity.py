@@ -59,9 +59,11 @@ def test_planted_fixture_is_nonvacuous(planted):
 
 
 def test_banded_lsh_recall_equals_exact_on_planted(planted):
-    """Default banded LSH (8 bands × 8 planes) must find EVERY planted
-    pair at τ=0.95 — per-pair miss probability (1-p^8)^8 ≈ 3e-3 at
-    cos 0.97, and hyperplanes are xxhash64-seeded → deterministic."""
+    """Default banded LSH (20 bands × 16 planes) must find EVERY planted
+    pair at τ=0.95 — per-pair miss probability (1-p^16)^20 ≈ 2e-3 at
+    cos 0.97 (p = 1-acos(0.97)/π ≈ 0.9216, p^16 ≈ 0.27), and the
+    hyperplanes are numpy-Gaussian seeded by (seed, dim) →
+    deterministic across runs (see similarity._band_sigs_pd)."""
     exact = {
         (r.id_a, r.id_b)
         for r in similarity.pairs_above(planted, threshold=0.95, exact=True).collect()
@@ -75,9 +77,10 @@ def test_banded_lsh_recall_equals_exact_on_planted(planted):
 
 
 def test_single_band_misses_pairs_banding_is_load_bearing(planted):
-    """The r2 design (ONE 8-plane bucket) has per-pair recall
-    p^8 ≈ 0.52 at cos 0.97 — on 20 planted pairs it must lose some.
-    This is the pin that FAILS if the banding is removed."""
+    """A single bucket (n_bands=1 at the default 16 planes) has
+    per-pair recall p^16 ≈ 0.27 at cos 0.97 — on 20 planted pairs it
+    must lose some. This is the pin that FAILS if the banding is
+    removed (the r2 single-bucket design's failure mode)."""
     exact = {
         (r.id_a, r.id_b)
         for r in similarity.pairs_above(planted, threshold=0.95, exact=True).collect()
@@ -161,3 +164,65 @@ def test_topk_two_phase_salt_width_insensitive(planted):
             for r in similarity.topk_per_query(raw, 7, salt_buckets=buckets).collect()
         }
         assert alt == base
+
+
+# ---------------------------------------------------------------------------
+# bad-row robustness: one null/ragged embedding must not kill the Arrow
+# batch (the one-bad-row-kills-the-stage failure class fixed for URL
+# ports in r3)
+# ---------------------------------------------------------------------------
+
+
+def test_pairs_above_survives_null_and_ragged_embeddings(spark, planted):
+    """Null and wrong-dim rows are excluded from candidates (null
+    signature / JVM-side filter) — the planted pair set is unchanged and
+    the stage does not fail."""
+    bad = spark.createDataFrame(
+        [(90001, None), (90002, [0.5, 0.5])],
+        "vec_id bigint, embedding array<double>",
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.pairs_above(planted, threshold=0.95, exact=True).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.pairs_above(
+            planted.unionByName(bad), threshold=0.95
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_band_sigs_null_rows_get_null_signatures(spark):
+    """The signature UDF itself emits NULL for null/ragged rows instead
+    of raising — direct pin on _band_sigs_pd's mask path."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, None), (3, [1.0, 0.0]), (4, [0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1)  # one Arrow batch, ORDER KEPT: first valid row sets dim
+    sig = similarity._band_sigs_pd(4, 8, seed=42)
+    rows = {r.vec_id: r.sigs for r in df.select(
+        "vec_id", sig(F.col("embedding")).alias("sigs")).collect()}
+    assert rows[1] is not None and len(rows[1]) == 4
+    assert rows[4] is not None and len(rows[4]) == 4
+    assert rows[2] is None          # null embedding
+    assert rows[3] is None          # ragged dim (2 vs batch dim 3)
+
+
+def test_lsh_bucket_topk_survives_null_embeddings(spark, planted):
+    bad = spark.createDataFrame(
+        [(90001, None)], "vec_id bigint, embedding array<double>"
+    )
+    queries = planted.filter(F.col("vec_id") < 2)
+    base = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in similarity.lsh_bucket_topk(planted, queries, k=3).collect()
+    }
+    got = {
+        (r.query_id, r.rank, r.vec_id)
+        for r in similarity.lsh_bucket_topk(
+            planted.unionByName(bad), queries, k=3
+        ).collect()
+    }
+    assert got == base

@@ -1,0 +1,67 @@
+"""Scratch-persist ownership: operator-internal caches are registered
+with ``operators.scratch`` and releasable by the caller — a long-lived
+session no longer accumulates storage-pool pressure across repeated
+operator calls (previously the handles were dropped and only
+``spark.catalog.clearCache()`` — which nukes caller-owned caches too —
+could reclaim them)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tbbid_scrapy_spark.operators import dedup, scratch, similarity, text
+
+
+def _persistent_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_operators_register_and_release_scratch(spark):
+    scratch.release()  # clean slate
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i}") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    before = scratch.registered_count()
+    pairs = dedup.simhash_verified_pairs(docs, threshold=0.5)
+    pairs.count()  # action: the persisted shingle sets did their job
+    assert scratch.registered_count() > before  # registered, not dropped
+    released = scratch.release()
+    assert released >= 1
+    assert scratch.registered_count() == 0
+    # releasing twice is a safe no-op
+    assert scratch.release() == 0
+
+
+def test_release_unpersists_for_real(spark):
+    """After release, no scratch block remains in the storage pool."""
+    scratch.release()
+    spark.catalog.clearCache()
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    similarity.pairs_above(emb, threshold=0.99).count()
+    assert scratch.registered_count() >= 1
+    assert _persistent_rdd_count(spark) >= 1
+    scratch.release()
+    assert _persistent_rdd_count(spark) == 0
+
+
+def test_scope_releases_only_inner_frames(spark):
+    scratch.release()
+    outer = scratch.persist(
+        spark.createDataFrame([(1,)], "x bigint")
+    )
+    outer.count()
+    with scratch.scope():
+        docs = spark.createDataFrame(
+            [(i, f"one two three four five six seven {i}") for i in range(20)],
+            "doc_id bigint, text string",
+        )
+        text.corpus_keep(docs, min_words=3, lang=None).count()
+        assert scratch.registered_count() >= 2
+    # inner frames released; the caller-owned outer persist survives
+    assert scratch.registered_count() == 1
+    assert outer.storageLevel.useMemory or outer.storageLevel.useDisk
+    scratch.release()
