@@ -24,6 +24,8 @@ pure-Python simulator build byte-identical graphs.
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 from dataclasses import dataclass, field
 
 HOT_HOST = "deal.ggzy.example.org"
@@ -385,18 +387,18 @@ def build_corp_site(
 
 API_HOST = "api.ggzy.example.org"
 
-# synthetic Tibet-prefecture dimension (the reference ships a 342-row
-# cities.json joined on substring(area_code,1,4) — bid_notice.py:105-116;
-# we synthesize the same shape rather than copying the data file)
-CITIES: list[tuple[str, str, str]] = [
-    ("5401", "拉萨市", "54"),
-    ("5402", "日喀则市", "54"),
-    ("5403", "昌都市", "54"),
-    ("5404", "林芝市", "54"),
-    ("5405", "山南市", "54"),
-    ("5406", "那曲市", "54"),
-    ("5425", "阿里地区", "54"),
-]
+# full 342-row cities dimension — the PUBLIC PRC administrative-division
+# table the reference ships as cities.json and joins on
+# substring(area_code,1,4) (bid_notice.py:105-116). Shipped verbatim as a
+# DATA file (fixtures/cities.json, (code, name, provinceCode) rows);
+# loading the real table gives the broadcast join (S9/J4) realistic key
+# dispersion — the earlier 7-entry Tibet-only toy exercised the join
+# shape but not the key space.
+with open(os.path.join(os.path.dirname(__file__), "cities.json"),
+          encoding="utf-8") as _cf:
+    CITIES: list[tuple[str, str, str]] = [
+        (c["code"], c["name"], c["provinceCode"]) for c in json.load(_cf)
+    ]
 
 
 def build_api_site(n_items: int = 30, rows_per_page: int = 8, seed: int = 42) -> dict[str, Page]:
