@@ -483,23 +483,64 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed cosine top-k (the 'IVF variant as the scale path'):
     deterministic k-means coarse quantizer, n_probe nearest inverted
-    lists per query, exact re-score. Output equals brute force whenever
-    every true neighbor lives in a probed list, so the exact top-k SQL
-    oracles it. n_probe == n_centroids HERE because the fixture's
-    embeddings are unstructured (no planted neighbor clusters — top-5
-    cosines sit at ~0.25), where partial-probe equality is impossible by
-    construction; the driver gate thus checks the full IVF plumbing
-    (index build, probe ranking, list join, re-score) while the pruning
-    path's recall curve at partial probe (0.75@8/16 → 1.0@16/16 on this
-    data; total recall needs clustered data) is pinned in
-    tests/test_operators_dedup.py."""
+    lists per query, exact re-score — run at n_probe=4 OF n_centroids=16,
+    so the driver gate exercises REAL pruning (r3's gate ran
+    n_probe == n_centroids, checking plumbing only).
+
+    Partial-probe equality with brute force needs every true neighbor in
+    a probed list, which the raw fixture cannot give (its embeddings are
+    unstructured: background top-5 cosines sit at ~0.25, spread across
+    cells). So — the same planted-augmentation trick that de-vacuated
+    embedding_near_dup — the corpus is augmented with 5 DETERMINISTIC
+    perturbed copies of each query vector (copy j of query v: component
+    i shifts by ((vec_id·131 + i·17 + j·29) mod 7 − 3)·0.004·j →
+    cos(v, copy) ≈ 0.95..0.999, far above the ~0.5 background). Each
+    query's true top-5 is exactly its 5 copies, which k-means assigns to
+    the query's own cell (tiny perturbations), so probing 4 of 16 lists
+    must recover ALL of them — the DuckDB brute-force oracle over the
+    identically-augmented corpus fails on any pruning miss. cos is
+    quantized to an integer at 1e3 (fold-left vs list_dot_product
+    summation orders diverge ~1e-9; copy cosines are ≥1e-3 apart so
+    ranks are engine-stable)."""
     from tbbid_scrapy_spark.operators.similarity import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qbase = emb.filter(F.col("vec_id") < 8)
+    # the perturbation lambda must reference the ORIGINAL vec_id under a
+    # name the output does NOT rebind: with an unqualified
+    # F.col("vec_id") in the same select that aliases vec_id+100000j AS
+    # vec_id, the multi-branch self-union's attribute dedup rebound the
+    # lambda to the SHIFTED id (measured: copy 500001 was perturbed with
+    # vid=500001, cos 0.949 vs the true 0.956) — stash the id as _vid
+    stash = qbase.select(F.col("vec_id").alias("_vid"), "embedding")
+
+    def _pert_fn(j: int):
+        # index parity with the DuckDB oracle: Spark's transform index is
+        # 0-based, DuckDB's list_transform index is 1-based → (i+1) here
+        return lambda x, i: (
+            x
+            + ((F.col("_vid") * 131 + (i + 1) * 17 + j * 29) % 7 - 3)
+            * (0.004 * j)
+        )
+
+    copies = None
+    for j in range(1, 6):
+        pert = F.transform(F.col("embedding"), _pert_fn(j))
+        c = stash.select(
+            (F.col("_vid") + 100000 * j).alias("vec_id"),
+            pert.alias("embedding"),
+        )
+        copies = c if copies is None else copies.unionByName(c)
+    aug = emb.unionByName(copies)
     return (
-        ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=16, iters=2)
-        .select("query_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
+        ivf_topk(aug, qbase, k=5, n_centroids=16, n_probe=4, iters=2)
+        .select(
+            "query_id", "rank", "vec_id",
+            F.round(F.col("cos") * 1000).cast("long").alias("cos_q"),
+        )
         .orderBy("query_id", "rank")
     )
 
@@ -780,9 +821,13 @@ _LANG_LISTS = {
 
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_literal()
-    # ann_ivf probes inverted lists and re-scores exactly, so brute-force
-    # top-k IS its ground truth (recall pinned in tests) — same SQL.
-    out["ann_ivf"] = out["cosine_topk"]
+    # ann_ivf probes 4 of 16 inverted lists and re-scores exactly, so
+    # brute-force top-k over the SAME planted-augmented corpus is its
+    # ground truth — a pruning miss (a true neighbor outside the probed
+    # lists) breaks the row match. Augmentation arithmetic mirrors
+    # q_ann_ivf exactly (DuckDB list_transform index is 1-based — the
+    # Spark side uses (i+1) for parity).
+    out["ann_ivf"] = _ANN_IVF_SQL
     out["corpus_filter"] = _CORPUS_FILTER_SQL
     return out
 
@@ -793,6 +838,46 @@ def oracle_sql() -> dict[str, str]:
 # count as punctuation consistently) → lang argmax (same CASE as the
 # lang_id oracle) → exact-dedup keep-min per normalized text → drop any
 # survivor that is id_b of an exact-Jaccard ≥ 0.5 pair among survivors.
+# Brute-force top-k over the planted-augmented corpus (see q_ann_ivf):
+# base embeddings + 5 deterministic perturbed copies of each query
+# vector. Exact ground truth for the n_probe=4/16 IVF run.
+_ANN_IVF_SQL = """
+    WITH base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+        FROM embeddings
+    ), qv AS (
+        SELECT vec_id, embedding FROM base WHERE vec_id < 8
+    ), copies AS (
+        SELECT qv.vec_id + 100000 * js.j AS vec_id,
+               list_transform(qv.embedding,
+                   (x, i) -> x + ((qv.vec_id*131 + i*17 + js.j*29) % 7 - 3)
+                             * (0.004 * js.j)
+               ) AS embedding
+        FROM qv CROSS JOIN (SELECT unnest([1,2,3,4,5]) AS j) js
+    ), aug AS (
+        SELECT vec_id, embedding FROM base
+        UNION ALL
+        SELECT vec_id, embedding FROM copies
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM qv
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_dot_product(e.embedding, q.q_emb)
+               / (sqrt(list_dot_product(e.embedding, e.embedding))
+                  * sqrt(list_dot_product(q.q_emb, q.q_emb))) AS cos
+        FROM aug e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, rank, vec_id,
+           CAST(round(cos * 1000) AS BIGINT) AS cos_q
+    FROM (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
 _CORPUS_FILTER_SQL = f"""
     WITH feats AS (
         SELECT doc_id, text,
