@@ -90,6 +90,7 @@ def bench_frontier(spark) -> dict:
         spark, site_df, sitegen.default_seeds(), pol, rob,
         CrawlConfig(max_waves=50, seen_mode="hybrid", bloom_spec=spec),
     )
+    la0 = os.getloadavg()[0]
     t0 = time.monotonic()
     st = eng.run()
     sec = time.monotonic() - t0
@@ -102,6 +103,11 @@ def bench_frontier(spark) -> dict:
         "waves": int(st.wave),
         "sec": round(sec, 3),
         "urls_per_sec": round(n_fetched / sec, 1),
+        # 1-min loadavg at start/end: the box is shared, and the frontier
+        # loop is the metric most sensitive to neighbor load (quiet-box
+        # 812-876 URLs/s vs 634 recorded under load in r3) — the artifact
+        # carries the evidence to tell regression from noise
+        "loadavg": [round(la0, 1), round(os.getloadavg()[0], 1)],
     }
 
 
@@ -291,12 +297,12 @@ def main() -> None:
         try:
             scaling = bench_scaling.measure(
                 lo, hi, "wave",
-                repeats=int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3")),
+                repeats=int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "5")),
             )
             print(
-                "# scaling: eff={} median={} meets_target={}".format(
+                "# scaling: median_pair_eff={} pairs={} meets_target={}".format(
                     scaling.get("scaling_efficiency"),
-                    scaling.get("scaling_efficiency_median"),
+                    scaling.get("pair_efficiencies"),
                     scaling.get("meets_target"),
                 ),
                 file=sys.stderr,
@@ -327,8 +333,8 @@ def compact_result_line(result: dict, max_bytes: int = 1900) -> str:
     if scaling and "error" not in scaling:
         keep = (
             "mode", "throughput", "speedup", "scaling_efficiency",
-            "scaling_efficiency_median", "pair_efficiencies",
-            "pair_efficiency_best", "wall_spread", "repeats",
+            "estimator", "pair_efficiencies", "context_estimators",
+            "wall_spread", "loadavgs", "repeats",
             "criterion", "meets_target", "meets_target_measured",
             "meets_target_projected", "note",
         )
@@ -349,7 +355,7 @@ def compact_result_line(result: dict, max_bytes: int = 1900) -> str:
     if len(line) > max_bytes and isinstance(result.get("scaling"), dict):
         result["scaling"] = {
             k: result["scaling"].get(k)
-            for k in ("scaling_efficiency", "scaling_efficiency_median",
+            for k in ("scaling_efficiency", "pair_efficiencies",
                       "meets_target", "repeats")
         }
         line = json.dumps(result, separators=(",", ":"))
