@@ -565,14 +565,19 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     # index parity with the DuckDB oracle: Spark's transform index is
-    # 0-based, DuckDB's list_transform index is 1-based → (i+1) here
+    # 0-based, DuckDB's list_transform index is 1-based → (i+1) here.
+    # The lambda references the original id as _vid, a name the output
+    # does NOT rebind — an unqualified vec_id in the same select that
+    # re-aliases vec_id was observed (q_ann_ivf, r4) being rebound to
+    # the SHIFTED id by union attribute dedup.
+    stash = emb.select(F.col("vec_id").alias("_vid"), "embedding")
     pert = F.transform(
         F.col("embedding"),
         lambda x, i: x
-        + ((F.col("vec_id") * 131 + (i + 1) * 17) % 7 - 3) * 0.004,
+        + ((F.col("_vid") * 131 + (i + 1) * 17) % 7 - 3) * 0.004,
     )
-    copies = emb.select(
-        (F.col("vec_id") + 100000).alias("vec_id"), pert.alias("embedding")
+    copies = stash.select(
+        (F.col("_vid") + 100000).alias("vec_id"), pert.alias("embedding")
     )
     aug = emb.unionByName(copies)
     # cos quantized to an integer at 1e3 scale: Spark's fold-left dot

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
+from importlib import resources
 from dataclasses import dataclass, field
 
 HOT_HOST = "deal.ggzy.example.org"
@@ -393,12 +393,17 @@ API_HOST = "api.ggzy.example.org"
 # DATA file (fixtures/cities.json, (code, name, provinceCode) rows);
 # loading the real table gives the broadcast join (S9/J4) realistic key
 # dispersion — the earlier 7-entry Tibet-only toy exercised the join
-# shape but not the key space.
-with open(os.path.join(os.path.dirname(__file__), "cities.json"),
-          encoding="utf-8") as _cf:
-    CITIES: list[tuple[str, str, str]] = [
-        (c["code"], c["name"], c["provinceCode"]) for c in json.load(_cf)
-    ]
+# shape but not the key space. importlib.resources (not open()) so the
+# file also loads from a spark-submit --py-files ZIP deploy (pinned in
+# tests/test_spark_submit.py).
+CITIES: list[tuple[str, str, str]] = [
+    (c["code"], c["name"], c["provinceCode"])
+    for c in json.loads(
+        resources.files(__package__).joinpath("cities.json").read_text(
+            encoding="utf-8"
+        )
+    )
+]
 
 
 def build_api_site(n_items: int = 30, rows_per_page: int = 8, seed: int = 42) -> dict[str, Page]:

@@ -34,18 +34,21 @@ def test_operators_register_and_release_scratch(spark):
 
 
 def test_release_unpersists_for_real(spark):
-    """After release, no scratch block remains in the storage pool."""
+    """After release, no scratch block remains in the storage pool
+    beyond what OTHER fixtures already held (the count is relative —
+    in the full suite, module-scoped caches from other test files are
+    legitimately persistent)."""
     scratch.release()
-    spark.catalog.clearCache()
+    base = _persistent_rdd_count(spark)
     emb = spark.createDataFrame(
         [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(40)],
         "vec_id bigint, embedding array<double>",
     )
     similarity.pairs_above(emb, threshold=0.99).count()
     assert scratch.registered_count() >= 1
-    assert _persistent_rdd_count(spark) >= 1
+    assert _persistent_rdd_count(spark) >= base + 1
     scratch.release()
-    assert _persistent_rdd_count(spark) == 0
+    assert _persistent_rdd_count(spark) <= base
 
 
 def test_scope_releases_only_inner_frames(spark):

@@ -79,7 +79,10 @@ def test_spark_submit_py_files_zip(tmp_path):
             if "__pycache__" in dirpath:
                 continue
             for fn in files:
-                if not fn.endswith(".py"):
+                # .json: package data files (fixtures/cities.json) ride
+                # the deploy zip and are read via importlib.resources —
+                # a plain open() would fail inside a zipimport
+                if not fn.endswith((".py", ".json")):
                     continue
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, os.path.dirname(pkg_root))
