@@ -509,31 +509,30 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     qbase = emb.filter(F.col("vec_id") < 8)
-    # the perturbation lambda must reference the ORIGINAL vec_id under a
-    # name the output does NOT rebind: with an unqualified
-    # F.col("vec_id") in the same select that aliases vec_id+100000j AS
-    # vec_id, the multi-branch self-union's attribute dedup rebound the
-    # lambda to the SHIFTED id (measured: copy 500001 was perturbed with
-    # vid=500001, cos 0.949 vs the true 0.956) — stash the id as _vid
+    # Copies built with ONE explode over j (mirroring the oracle's
+    # CROSS JOIN unnest([1..5])), not a 5-branch self-union: the
+    # multi-branch union's attribute dedup REBOUND an unqualified
+    # lambda reference to vec_id onto the shifted alias (measured: copy
+    # 500001 perturbed with vid=500001, cos 0.949 vs the true 0.956).
+    # The original id also rides under the collision-free name _vid so
+    # no expression in this select shadows a name the lambda reads.
     stash = qbase.select(F.col("vec_id").alias("_vid"), "embedding")
-
-    def _pert_fn(j: int):
-        # index parity with the DuckDB oracle: Spark's transform index is
-        # 0-based, DuckDB's list_transform index is 1-based → (i+1) here
-        return lambda x, i: (
-            x
-            + ((F.col("_vid") * 131 + (i + 1) * 17 + j * 29) % 7 - 3)
-            * (0.004 * j)
-        )
-
-    copies = None
-    for j in range(1, 6):
-        pert = F.transform(F.col("embedding"), _pert_fn(j))
-        c = stash.select(
-            (F.col("_vid") + 100000 * j).alias("vec_id"),
-            pert.alias("embedding"),
-        )
-        copies = c if copies is None else copies.unionByName(c)
+    jrows = stash.select(
+        "_vid", "embedding",
+        F.explode(F.array(*[F.lit(j) for j in range(1, 6)])).alias("_j"),
+    )
+    # index parity with the DuckDB oracle: Spark's transform index is
+    # 0-based, DuckDB's list_transform index is 1-based → (i+1) here
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: x
+        + ((F.col("_vid") * 131 + (i + 1) * 17 + F.col("_j") * 29) % 7 - 3)
+        * (F.col("_j") * 0.004),
+    )
+    copies = jrows.select(
+        (F.col("_vid") + 100000 * F.col("_j")).alias("vec_id"),
+        pert.alias("embedding"),
+    )
     aug = emb.unionByName(copies)
     return (
         ivf_topk(aug, qbase, k=5, n_centroids=16, n_probe=4, iters=2)

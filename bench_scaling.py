@@ -78,12 +78,18 @@ elif mode == "wave":
 else:
     import __spark_entry__ as entrymod
     import bench
+    from tbbid_scrapy_spark.operators import scratch
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     qs = entrymod.queries()
     t0 = time.monotonic()
     rows = 0
     for name in bench.HEADLINE:
         rows += qs[name](spark, sf_dir).count()
+        # same cold-cache-per-query contract as bench.py's headline loop:
+        # drop operator scratch persists between queries so cross-query
+        # storage-pool pressure doesn't ride inside the timed region
+        scratch.release()
+        spark.catalog.clearCache()
     sec = time.monotonic() - t0
     out = {{"wall_sec": round(sec, 3), "work_units": rows}}
 print("RESULT:" + json.dumps(out))
@@ -110,21 +116,34 @@ def _median(xs: list[float]) -> float:
 
 def measure(lo: int, hi: int, mode: str = "wave", repeats: int = 5) -> dict:
     """Run the same job at local[lo] and local[hi] (separate JVMs),
-    interleaved ``repeats`` runs per level; returns the scaling dict
-    (throughput both levels, best + median efficiency with spread,
-    map/shuffle decomposition)."""
+    interleaved ``repeats`` runs per level; returns the scaling dict.
+    The HEADLINE (``scaling_efficiency``, the only gated number) is the
+    MEDIAN of the per-pair efficiencies — each back-to-back lo/hi pair
+    shares a load epoch, and the median over ``repeats`` pairs damps
+    epoch shifts in either direction; best-of-runs and median-of-walls
+    are reported as context only. Also embeds per-pair loadavgs,
+    wall spreads, and the map/shuffle stage decomposition."""
     repo = os.path.dirname(os.path.abspath(__file__))
     # the sandbox box is shared (loadavg shows neighbor activity with no
-    # local processes; 2-3x run-to-run spread) → interleave levels so both
-    # see the same neighbor load, take the BEST run of each for the
-    # headline (filters noise), and report the median + spread alongside
-    # so the artifact shows the number is not a lucky draw.
+    # local processes; 2-3x run-to-run spread) → interleave levels so
+    # each pair sees one load epoch; the per-pair ratios are the unit of
+    # measurement and their MEDIAN is the pre-declared gate.
+    def run_with_retry(cpus: int) -> dict:
+        # one retry per run: a worker JVM lost to a neighbor-load OOM,
+        # fork failure, or wall-clock timeout must not void the whole
+        # artifact (pre-declared mechanical retry — not conditioned on
+        # the measured value, so it cannot bias the estimator)
+        try:
+            return run_level(repo, cpus, mode)
+        except (RuntimeError, OSError, subprocess.TimeoutExpired):
+            return run_level(repo, cpus, mode)
+
     runs_lo, runs_hi = [], []
     loadavgs = []
     for _ in range(repeats):
         loadavgs.append(round(os.getloadavg()[0], 1))
-        runs_lo.append(run_level(repo, lo, mode))
-        runs_hi.append(run_level(repo, hi, mode))
+        runs_lo.append(run_with_retry(lo))
+        runs_hi.append(run_with_retry(hi))
     r_lo = min(runs_lo, key=lambda r: r["wall_sec"])
     r_hi = min(runs_hi, key=lambda r: r["wall_sec"])
     speedup = r_lo["wall_sec"] / r_hi["wall_sec"]

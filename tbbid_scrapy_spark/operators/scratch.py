@@ -26,6 +26,14 @@ nothing else — once their action has run::
 idempotent); frames still referenced by un-actioned plans simply
 recompute.  For scoped use, ``scratch.scope()`` is a context manager
 that releases on exit whatever was registered inside it.
+
+Callers that never call ``release()`` are still bounded: the registry
+caps at ``MAX_REGISTERED`` frames and evicts (unpersists) the oldest on
+overflow — scratch frames are recomputable by construction, so an
+evicted one costs recompute time, never correctness.  Under heavy
+``scope()`` nesting combined with overflow the FIFO eviction may drop
+an outer scope's frame before an inner one; that is equally harmless
+for the same reason.
 """
 
 from __future__ import annotations
@@ -36,11 +44,27 @@ from pyspark.sql import DataFrame
 
 _SCRATCH: list[DataFrame] = []
 
+# Registry cap: a caller that never calls release() (a library consumer
+# unaware of the contract) must not pin scratch blocks for process
+# lifetime — beyond this many registered frames the OLDEST is
+# unpersisted and dropped. Scratch frames are recomputable by
+# construction (they exist only to avoid re-derivation within one
+# operator call), so evicting an old one can cost recompute time but
+# never correctness. Recent frames — the ones an in-flight plan still
+# references — stay cached.
+MAX_REGISTERED = 8
+
 
 def persist(df: DataFrame, storage_level=None) -> DataFrame:
     """Persist ``df`` and register the handle for later ``release()``."""
     out = df.persist() if storage_level is None else df.persist(storage_level)
     _SCRATCH.append(out)
+    while len(_SCRATCH) > MAX_REGISTERED:
+        old = _SCRATCH.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
     return out
 
 

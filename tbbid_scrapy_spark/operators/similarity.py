@@ -112,7 +112,12 @@ def _band_sigs_pd(n_bands: int, n_planes: int, seed: int):
         valid = lens > 0
         if not valid.any():
             return pd.Series([None] * len(vals), dtype=object)
-        dim = int(lens[valid.argmax()])          # first valid row's dim
+        # reference dim = the MAJORITY length among valid rows (ties →
+        # smallest), NOT the first row's: a single corrupted short
+        # vector arriving first in the batch must not null-signature
+        # every well-formed vector behind it
+        udims, counts = np.unique(lens[valid], return_counts=True)
+        dim = int(udims[counts.argmax()])
         good = lens == dim
         m = np.vstack(vals[good])                           # N × dim
         rng = np.random.default_rng(seed * 1_000_003 + dim)

@@ -226,3 +226,19 @@ def test_lsh_bucket_topk_survives_null_embeddings(spark, planted):
         ).collect()
     }
     assert got == base
+
+
+def test_band_sigs_ragged_first_row_does_not_poison_batch(spark):
+    """The reference dim is the batch MAJORITY, not the first valid
+    row's: a corrupted short vector arriving FIRST must be the one that
+    gets a NULL signature — not every well-formed vector behind it."""
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.5]), (2, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0]),
+         (4, [1.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1)  # one Arrow batch, order kept: ragged row is FIRST
+    sig = similarity._band_sigs_pd(4, 8, seed=42)
+    rows = {r.vec_id: r.sigs for r in df.select(
+        "vec_id", sig(F.col("embedding")).alias("sigs")).collect()}
+    assert rows[1] is None                      # the bad row
+    assert all(rows[v] is not None and len(rows[v]) == 4 for v in (2, 3, 4))

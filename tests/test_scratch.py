@@ -68,3 +68,22 @@ def test_scope_releases_only_inner_frames(spark):
     assert scratch.registered_count() == 1
     assert outer.storageLevel.useMemory or outer.storageLevel.useDisk
     scratch.release()
+
+
+def test_registry_cap_evicts_oldest(spark):
+    """A caller that never calls release() stays bounded: registering
+    past MAX_REGISTERED unpersists and drops the oldest frame."""
+    scratch.release()
+    frames = [
+        scratch.persist(spark.range(i, i + 10))
+        for i in range(scratch.MAX_REGISTERED + 3)
+    ]
+    assert scratch.registered_count() == scratch.MAX_REGISTERED
+    # the three oldest were evicted (storage level reset)
+    for f in frames[:3]:
+        lvl = f.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk)
+    # the newest are still cached
+    lvl = frames[-1].storageLevel
+    assert lvl.useMemory or lvl.useDisk
+    scratch.release()
