@@ -306,10 +306,21 @@ def main() -> None:
         # wider wave holds the median above the 0.8 bar under the
         # neighbor load this box typically carries)
         os.environ.setdefault("SPARK_GRAFT_SCALING_WAVE_URLS", "8000000")
+        def _partial(p):
+            # one compact, parseable line per completed pair: a harness
+            # that kills the (minutes-long) scaling section mid-flight
+            # keeps the LAST stdout line — with this, that line records
+            # the completed pairs instead of scaling:null
+            r = dict(result)
+            r["scaling"] = p
+            print(compact_result_line(r))
+            sys.stdout.flush()
+
         try:
             scaling = bench_scaling.measure(
                 lo, hi, "wave",
                 repeats=int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "5")),
+                on_pair=_partial,
             )
             print(
                 "# scaling: median_pair_eff={} pairs={} meets_target={}".format(
@@ -346,7 +357,7 @@ def compact_result_line(result: dict, max_bytes: int = 1900) -> str:
         keep = (
             "mode", "throughput", "speedup", "scaling_efficiency",
             "estimator", "pair_efficiencies", "context_estimators",
-            "wall_spread", "loadavgs", "repeats",
+            "wall_spread", "loadavgs", "repeats", "partial", "pairs_done",
             "criterion", "meets_target", "meets_target_measured",
             "meets_target_projected", "note",
         )

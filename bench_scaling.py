@@ -114,7 +114,8 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
-def measure(lo: int, hi: int, mode: str = "wave", repeats: int = 5) -> dict:
+def measure(lo: int, hi: int, mode: str = "wave", repeats: int = 5,
+            on_pair=None) -> dict:
     """Run the same job at local[lo] and local[hi] (separate JVMs),
     interleaved ``repeats`` runs per level; returns the scaling dict.
     The HEADLINE (``scaling_efficiency``, the only gated number) is the
@@ -144,6 +145,27 @@ def measure(lo: int, hi: int, mode: str = "wave", repeats: int = 5) -> dict:
         loadavgs.append(round(os.getloadavg()[0], 1))
         runs_lo.append(run_with_retry(lo))
         runs_hi.append(run_with_retry(hi))
+        if on_pair is not None:
+            # progress hook after each completed pair: lets the caller
+            # persist a PARTIAL record (median over pairs so far) so a
+            # harness timeout mid-measurement still leaves evidence of
+            # the completed pairs instead of scaling:null
+            effs = [
+                round((a["wall_sec"] / b["wall_sec"]) / (hi / lo), 3)
+                for a, b in zip(runs_lo, runs_hi)
+            ]
+            on_pair({
+                "partial": True,
+                "pairs_done": len(effs),
+                "repeats": repeats,
+                "pair_efficiencies": effs,
+                "scaling_efficiency": round(_median(effs), 3),
+                "estimator": "median of per-pair efficiencies "
+                             "(PARTIAL — measurement still running)",
+                "loadavgs": loadavgs[:],
+                "meets_target_measured": bool(_median(effs) >= 0.8),
+                "meets_target": bool(_median(effs) >= 0.8),
+            })
     r_lo = min(runs_lo, key=lambda r: r["wall_sec"])
     r_hi = min(runs_hi, key=lambda r: r["wall_sec"])
     speedup = r_lo["wall_sec"] / r_hi["wall_sec"]

@@ -161,3 +161,47 @@ def test_scaling_gate_is_median_pair_efficiency_only(monkeypatch):
     out = bench_scaling.measure(2, 8, "wave", repeats=5)
     assert out["scaling_efficiency"] == 0.82
     assert out["meets_target"] is True
+
+
+def test_partial_scaling_record_survives_compaction():
+    """Mid-measurement partial records (emitted after each completed
+    pair) must stay parseable, compact, and clearly marked partial."""
+    partial = {
+        "partial": True,
+        "pairs_done": 2,
+        "repeats": 5,
+        "pair_efficiencies": [0.84, 0.81],
+        "scaling_efficiency": 0.825,
+        "estimator": "median of per-pair efficiencies "
+                     "(PARTIAL — measurement still running)",
+        "loadavgs": [3.2, 4.1],
+        "meets_target_measured": True,
+        "meets_target": True,
+    }
+    line = bench.compact_result_line(_result(partial))
+    assert len(line) <= 1900
+    d = json.loads(line)
+    s = d["scaling"]
+    assert s["partial"] is True and s["pairs_done"] == 2
+    assert s["scaling_efficiency"] == 0.825
+    assert "PARTIAL" in s["estimator"]
+
+
+def test_measure_emits_partial_records(monkeypatch):
+    """measure(on_pair=...) fires after every completed pair with the
+    running median."""
+    import bench_scaling
+
+    calls = {"i": 0}
+    walls = {2: 100.0, 8: 31.25}  # pair efficiency 0.8
+
+    def fake_run_level(repo, cpus, mode):
+        calls["i"] += 1
+        return {"wall_sec": walls[cpus], "work_units": 1000}
+
+    monkeypatch.setattr(bench_scaling, "run_level", fake_run_level)
+    partials = []
+    out = bench_scaling.measure(2, 8, "wave", repeats=3, on_pair=partials.append)
+    assert len(partials) == 3
+    assert partials[0]["pairs_done"] == 1 and partials[0]["partial"] is True
+    assert partials[-1]["scaling_efficiency"] == out["scaling_efficiency"] == 0.8
