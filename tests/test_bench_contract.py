@@ -205,3 +205,32 @@ def test_measure_emits_partial_records(monkeypatch):
     assert len(partials) == 3
     assert partials[0]["pairs_done"] == 1 and partials[0]["partial"] is True
     assert partials[-1]["scaling_efficiency"] == out["scaling_efficiency"] == 0.8
+
+
+def test_pair_efficiencies_capped_before_median(monkeypatch):
+    """Pairs above 1.0 (a neighbor spike inflating the LO run of a
+    pair) are capped before the median — the never-claim-superlinear
+    stance; capping can only lower the headline."""
+    import bench_scaling
+
+    effs = (1.2, 1.1, 0.85, 0.7, 0.75)  # raw median 0.85; also capped 0.85
+    walls_hi = [100 / (4 * e) for e in effs]
+    calls = {"i": 0}
+
+    def fake_run_level(repo, cpus, mode):
+        i = calls["i"] // 2
+        is_hi = calls["i"] % 2 == 1
+        calls["i"] += 1
+        return {"wall_sec": walls_hi[i] if is_hi else 100.0,
+                "work_units": 1000}
+
+    monkeypatch.setattr(bench_scaling, "run_level", fake_run_level)
+    out = bench_scaling.measure(2, 8, "wave", repeats=5)
+    assert out["pair_efficiencies"] == [1.2, 1.1, 0.85, 0.7, 0.75]  # raw kept
+    assert out["scaling_efficiency"] == 0.85
+    # and a case where the CAP is decisive: raw median 1.1 -> capped 1.0
+    calls["i"] = 0
+    walls_hi[:] = [100 / (4 * e) for e in (1.2, 1.1, 1.15, 0.7, 0.75)]
+    out = bench_scaling.measure(2, 8, "wave", repeats=5)
+    assert out["scaling_efficiency"] == 1.0
+    assert out["meets_target"] is True
