@@ -544,6 +544,61 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH bucketed top-k (the ANN 'scale path' that
+    touches ~b·corpus/2^r of the corpus per query instead of all of it),
+    gated against BRUTE-FORCE top-k over a planted-augmented corpus —
+    the last LLM-family operator that had only pytest coverage.
+
+    Same augmentation trick as q_ann_ivf with DIFFERENT constants so the
+    two rows aren't value-copies: copy j∈1..5 of query v shifts component
+    i by ((vec_id·131 + i·17 + j·29) mod 7 − 3)·0.0025·j → cos(v, copy)
+    ∈ [0.9798, 0.9992] vs a 0.493 background ceiling, so each query's
+    true top-5 is exactly its 5 copies. Run at n_bands=8 × n_planes=8:
+    analytic per-copy miss ≤ (1−p⁸)⁸ ≈ 8e-4 at the worst planted cosine
+    (p = 1−acos(0.9798)/π ≈ 0.936), and the hyperplanes are
+    seed-deterministic, so the recall-everything outcome verified at this
+    fixture is stable, not a coin flip per run. Any banding recall miss
+    surfaces a ~0.49-background row where the oracle has a planted copy
+    — rank, id and quantized cos all break. cos quantized ×1e3; planted
+    cosines sit ≥9.8e-5 from every rounding boundary (scanned), five
+    decades above the ~1e-9 cross-engine summation divergence."""
+    from tbbid_scrapy_spark.operators.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    qbase = emb.filter(F.col("vec_id") < 8)
+    # original id stashed as _vid; copies built with ONE explode over j
+    # (see q_ann_ivf: a 5-branch self-union rebound an unqualified
+    # lambda reference to vec_id onto the shifted alias)
+    stash = qbase.select(F.col("vec_id").alias("_vid"), "embedding")
+    jrows = stash.select(
+        "_vid", "embedding",
+        F.explode(F.array(*[F.lit(j) for j in range(1, 6)])).alias("_j"),
+    )
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: x
+        + ((F.col("_vid") * 131 + (i + 1) * 17 + F.col("_j") * 29) % 7 - 3)
+        * (F.col("_j") * 0.0025),
+    )
+    copies = jrows.select(
+        (F.col("_vid") + 100000 * F.col("_j")).alias("vec_id"),
+        pert.alias("embedding"),
+    )
+    aug = emb.unionByName(copies)
+    return (
+        lsh_bucket_topk(aug, qbase, k=5, n_planes=8, n_bands=8)
+        .select(
+            "query_id", "rank", "vec_id",
+            F.round(F.col("cos") * 1000).cast("long").alias("cos_q"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ 0.95) via the BANDED
     hyperplane-LSH scale path (default — no all-pairs join reachable from
@@ -649,6 +704,86 @@ def q_province_usci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("province").asc_nulls_first())
     )
+
+
+def q_url_from_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: showDetail(...) onclick → absolute detail URL (util.py:76-86),
+    previously pytest-only. Four synthesized shapes per doc: a plain
+    match, a whitespace/empty-arg match (exercises the \\s* gaps), a
+    non-showDetail handler (→ NULL, the reference's None), and an
+    unterminated call (→ NULL)."""
+    from tbbid_scrapy_spark.functions.extract import extract_url_from_click
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    onclick = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("showDetail(123, 'b', '/detail/"), did, F.lit(".html')")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("showDetail( x7 ,'','/n/"), did, F.lit("')")))
+        .when(F.col("doc_id") % 4 == 2, F.lit("openWindow('/x.html')"))
+        .otherwise(F.lit("showDetail(1,'unterminated"))
+    )
+    return d.select(
+        "doc_id", extract_url_from_click(onclick).alias("url")
+    ).orderBy("doc_id")
+
+
+def q_cookie_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17: cookie string → map (bid_notice.py:11-20), previously
+    pytest-only. The synthesized cookie carries untrimmed ' token = v '
+    segments and a trailing ';' (empty pair must be dropped); the oracle
+    recomputes the expected values arithmetically, so any parse/trim
+    drift breaks the hash. Values are projected out of the map (a map
+    column itself would break the driver's sort-based canonicalizer)."""
+    from tbbid_scrapy_spark.functions.extract import cookie_to_map
+
+    d = _t(spark, sf_dir, "documents")
+    cookie = F.concat(
+        F.lit("JSESSIONID=s"), (F.col("doc_id") % 97).cast("string"),
+        F.lit("; token = t"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(" ;lang=en;"),
+    )
+    m = cookie_to_map(cookie)
+    return d.select(
+        "doc_id",
+        m.getItem("JSESSIONID").alias("sid"),
+        m.getItem("token").alias("token"),
+        F.size(m).alias("n_keys"),
+    ).orderBy("doc_id")
+
+
+def q_zip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: positional zip join of two parallel arrays with PYTHON-zip
+    truncate-to-shorter semantics (company_emp_info.py zip of person
+    links × roles), previously pytest-only. Arrays of different lengths
+    (1-4 names vs 1-3 roles) are synthesized per doc; rows beyond the
+    shorter array must NOT appear (arrays_zip's null-padding would add
+    them — the oracle pins the truncation)."""
+    d = _t(spark, sf_dir, "documents")
+    n_names = (F.col("doc_id") % 4 + 1).cast("int")
+    n_roles = (F.col("doc_id") % 3 + 1).cast("int")
+    names = F.transform(
+        F.sequence(F.lit(1), n_names),
+        lambda i: F.concat(F.lit("p"), ((F.col("doc_id") + i * 13) % 50).cast("string")),
+    )
+    roles = F.transform(
+        F.sequence(F.lit(1), n_roles),
+        lambda i: F.concat(F.lit("r"), ((F.col("doc_id") + i * 7) % 5).cast("string")),
+    )
+    arr = d.select("doc_id", names.alias("names"), roles.alias("roles"))
+    rows = arr.select(
+        "doc_id", "names", "roles",
+        F.explode(
+            F.sequence(F.lit(1), F.least(F.size("names"), F.size("roles")))
+        ).alias("pos"),
+    )
+    return rows.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.element_at("names", F.col("pos")).alias("name"),
+        F.element_at("roles", F.col("pos")).alias("role"),
+    ).orderBy("doc_id", "pos")
 
 
 def q_is_number(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -768,12 +903,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
         "ann_ivf": q_ann_ivf,
+        "lsh_topk": q_lsh_topk,
         "corpus_filter": q_corpus_filter,
         "embedding_near_dup": q_embedding_near_dup,
         "title_filter": q_title_filter,
         "array_distinct_filter": q_array_distinct_filter,
         "province_usci": q_province_usci,
         "is_number": q_is_number,
+        "url_from_click": q_url_from_click,
+        "cookie_map": q_cookie_map,
+        "zip_join": q_zip_join,
         "section_chinese": q_section_chinese,
         "media_decode": q_media_decode,
         "media_features": q_media_features,
@@ -832,6 +971,13 @@ def oracle_sql() -> dict[str, str]:
     # q_ann_ivf exactly (DuckDB list_transform index is 1-based — the
     # Spark side uses (i+1) for parity).
     out["ann_ivf"] = _ANN_IVF_SQL
+    # lsh_topk collides queries with candidates in ≥1 of 8 hyperplane
+    # bands and re-scores exactly, so brute-force top-k over the SAME
+    # planted-augmented corpus (scale 0.0025·j — different constants
+    # from ann_ivf, so the two rows carry distinct values) is its
+    # ground truth — a banding recall miss breaks the row match.
+    assert "(0.004 * js.j)" in _ANN_IVF_SQL  # guard the derived-oracle edit
+    out["lsh_topk"] = _ANN_IVF_SQL.replace("(0.004 * js.j)", "(0.0025 * js.j)")
     out["corpus_filter"] = _CORPUS_FILTER_SQL
     return out
 
@@ -1250,6 +1396,46 @@ def _oracle_sql_literal() -> dict[str, str]:
                     ELSE '' END AS DOUBLE) IS NOT NULL) AS is_num
                 FROM events
             ) GROUP BY is_num ORDER BY is_num
+        """,
+        # F4: same RE2-compatible pattern in both engines; DuckDB's
+        # regexp_extract returns '' on no-match, so the has-match CASE
+        # mirrors the Spark F.when(has, ...) → NULL shape.
+        "url_from_click": """
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(s,
+                            'showDetail\\(\\s*[^,]+,\\s*''[^'']*'',\\s*''[^'']*''\\s*\\)')
+                        THEN 'https://www.ggzy.gov.cn/information' || regexp_extract(s,
+                            'showDetail\\(\\s*[^,]+,\\s*''[^'']*'',\\s*''([^'']*)''\\s*\\)', 1)
+                        ELSE NULL END AS url
+            FROM (
+                SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+                    WHEN 0 THEN 'showDetail(123, ''b'', ''/detail/' || CAST(doc_id AS VARCHAR) || '.html'')'
+                    WHEN 1 THEN 'showDetail( x7 ,'''',''/n/' || CAST(doc_id AS VARCHAR) || ''')'
+                    WHEN 2 THEN 'openWindow(''/x.html'')'
+                    ELSE 'showDetail(1,''unterminated' END AS s
+                FROM documents
+            ) ORDER BY doc_id
+        """,
+        # F17: the oracle recomputes the expected parse results
+        # arithmetically — any trim/split/empty-pair drift in
+        # cookie_to_map breaks the hash.
+        "cookie_map": """
+            SELECT doc_id,
+                   's' || CAST(doc_id % 97 AS VARCHAR) AS sid,
+                   't' || CAST(doc_id % 7 AS VARCHAR) AS token,
+                   3 AS n_keys
+            FROM documents ORDER BY doc_id
+        """,
+        # J5: Python-zip truncate-to-shorter over parallel arrays; the
+        # oracle regenerates the zipped rows directly, so null-padded
+        # rows (arrays_zip semantics) or off-by-one positions fail.
+        "zip_join": """
+            SELECT doc_id, pos,
+                   'p' || CAST((doc_id + pos * 13) % 50 AS VARCHAR) AS name,
+                   'r' || CAST((doc_id + pos * 7) % 5 AS VARCHAR) AS role
+            FROM documents,
+                 LATERAL (SELECT unnest(range(1, least(doc_id % 4 + 1, doc_id % 3 + 1) + 1)) AS pos)
+            ORDER BY doc_id, pos
         """,
         "media_decode": """
             SELECT CAST(r AS BIGINT) AS media_id,
