@@ -163,10 +163,16 @@ def bench_wave(spark, n_urls: int = 2_000_000, dup_ratio: float = 0.25) -> dict:
     cand = with_url_norm(raw, "url")
     cand = apply_robots_joined(cand, robots)
     payload = [c for c in cand.columns if c not in ("url_hash", "seq")]
+    # persisted like the engine's per-wave children frame (plans/crawl.py
+    # "the frame is persisted so shards/frontier/seen below reuse one
+    # materialization") — without it the two actions below each recompute
+    # the full canonicalize+robots+dedup lineage, a work pattern the
+    # engine deliberately avoids (measured: ~2x the map task-seconds)
     deduped = (
         cand.groupBy("url_hash")
         .agg(F.min(F.struct(F.col("seq"), *[F.col(c) for c in payload])).alias("_f"))
         .select("url_hash", "_f.*")
+        .persist()
     )
     # fused test+insert — the crawl loop's actual seen-set pipeline
     # (one cogroup pass instead of two; see operators/bloom.py)
@@ -186,6 +192,7 @@ def bench_wave(spark, n_urls: int = 2_000_000, dup_ratio: float = 0.25) -> dict:
     shards.unpersist()
     novel.unpersist()
     fused.unpersist()
+    deduped.unpersist()
     return {
         "urls_in": n_urls,
         "urls_distinct": int(n_novel),

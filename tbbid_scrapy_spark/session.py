@@ -22,6 +22,54 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _scratch_local_dir() -> str | None:
+    """Spark scratch (shuffle files, spills) directory.
+
+    Default /tmp sits on the box's one shared disk, so neighbor-tenant
+    I/O bleeds into every shuffle — measured as a shuffle-stage speedup
+    collapse (3.6x -> 1.5x at 2->8 cores) during loaded epochs while map
+    stages held their ratio. A production executor shuffles to its OWN
+    local disks; tmpfs is the closest sandbox analog and removes the
+    shared-resource artifact from measurements. Sizing: the largest
+    bench shuffle is ~0.8 GB vs 126 GB of /dev/shm. Override with
+    SPARK_GRAFT_LOCAL_DIR; any failure falls back to Spark's default.
+    """
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override or None
+    base = "/dev/shm"
+    if not (os.path.isdir(base) and os.access(base, os.W_OK)):
+        return None
+    d = os.path.join(base, "spark_graft_local")
+    try:
+        os.makedirs(d, exist_ok=True)
+        _sweep_stale_scratch(d)
+        return d
+    except OSError:
+        return None
+
+
+def _sweep_stale_scratch(d: str, max_age_sec: int = 6 * 3600) -> None:
+    """Best-effort removal of scratch subdirs left by killed JVMs (Spark
+    deletes its blockmgr-*/spark-* dirs via shutdown hook, which SIGKILL
+    skips — on tmpfs a leak is RAM, so sweep anything stale)."""
+    import shutil
+    import time
+
+    now = time.time()
+    try:
+        entries = os.listdir(d)
+    except OSError:
+        return
+    for name in entries:
+        p = os.path.join(d, name)
+        try:
+            if now - os.path.getmtime(p) > max_age_sec:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
+
+
 def get_spark(
     app_name: str = "tbbid_scrapy_spark",
     cpus: int | None = None,
@@ -54,6 +102,9 @@ def get_spark(
         # distinction matters.
         .config("spark.sql.ansi.enabled", "false")
     )
+    local_dir = _scratch_local_dir()
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
