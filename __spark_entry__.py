@@ -480,6 +480,47 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _augment_with_planted_copies(emb: DataFrame, qbase: DataFrame,
+                                 scale: float) -> DataFrame:
+    """Corpus-augmentation shared by q_ann_ivf and q_lsh_topk (the
+    single-copy variant lives inline in q_embedding_near_dup): 5
+    deterministic perturbed copies of each query vector — copy j of
+    query v shifts component i by ((v·131 + (i+1)·17 + j·29) mod 7 − 3)
+    · scale·j, the identical arithmetic the DuckDB oracles run.
+
+    Copies are built with ONE explode over j (mirroring the oracle's
+    CROSS JOIN unnest([1..5])), not a 5-branch self-union: the
+    multi-branch union's attribute dedup REBOUND an unqualified lambda
+    reference to vec_id onto the shifted alias (measured r4: copy
+    perturbed with the shifted id, cos 0.949 vs the true 0.956). The
+    original id rides under the collision-free name _vid so no
+    expression in the select shadows a name the lambda reads. Index
+    parity: Spark's transform index is 0-based, DuckDB's list_transform
+    is 1-based → (i+1) here.
+
+    Copy ids are NEGATIVE, -(v·10 + j): fixture vec_ids are
+    non-negative, so a planted id can never collide with a base id at
+    ANY corpus size. (The previous v + 100000·j scheme collided once the
+    table exceeded 100k rows — the groupBy then merged two distinct
+    vectors into one ranked row while the oracle ranked both.)"""
+    stash = qbase.select(F.col("vec_id").alias("_vid"), "embedding")
+    jrows = stash.select(
+        "_vid", "embedding",
+        F.explode(F.array(*[F.lit(j) for j in range(1, 6)])).alias("_j"),
+    )
+    pert = F.transform(
+        F.col("embedding"),
+        lambda x, i: x
+        + ((F.col("_vid") * 131 + (i + 1) * 17 + F.col("_j") * 29) % 7 - 3)
+        * (F.col("_j") * F.lit(scale)),
+    )
+    copies = jrows.select(
+        (-(F.col("_vid") * 10 + F.col("_j"))).alias("vec_id"),
+        pert.alias("embedding"),
+    )
+    return emb.unionByName(copies)
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed cosine top-k (the 'IVF variant as the scale path'):
     deterministic k-means coarse quantizer, n_probe nearest inverted
@@ -509,31 +550,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     qbase = emb.filter(F.col("vec_id") < 8)
-    # Copies built with ONE explode over j (mirroring the oracle's
-    # CROSS JOIN unnest([1..5])), not a 5-branch self-union: the
-    # multi-branch union's attribute dedup REBOUND an unqualified
-    # lambda reference to vec_id onto the shifted alias (measured: copy
-    # 500001 perturbed with vid=500001, cos 0.949 vs the true 0.956).
-    # The original id also rides under the collision-free name _vid so
-    # no expression in this select shadows a name the lambda reads.
-    stash = qbase.select(F.col("vec_id").alias("_vid"), "embedding")
-    jrows = stash.select(
-        "_vid", "embedding",
-        F.explode(F.array(*[F.lit(j) for j in range(1, 6)])).alias("_j"),
-    )
-    # index parity with the DuckDB oracle: Spark's transform index is
-    # 0-based, DuckDB's list_transform index is 1-based → (i+1) here
-    pert = F.transform(
-        F.col("embedding"),
-        lambda x, i: x
-        + ((F.col("_vid") * 131 + (i + 1) * 17 + F.col("_j") * 29) % 7 - 3)
-        * (F.col("_j") * 0.004),
-    )
-    copies = jrows.select(
-        (F.col("_vid") + 100000 * F.col("_j")).alias("vec_id"),
-        pert.alias("embedding"),
-    )
-    aug = emb.unionByName(copies)
+    aug = _augment_with_planted_copies(emb, qbase, scale=0.004)
     return (
         ivf_topk(aug, qbase, k=5, n_centroids=16, n_probe=4, iters=2)
         .select(
@@ -570,25 +587,7 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     qbase = emb.filter(F.col("vec_id") < 8)
-    # original id stashed as _vid; copies built with ONE explode over j
-    # (see q_ann_ivf: a 5-branch self-union rebound an unqualified
-    # lambda reference to vec_id onto the shifted alias)
-    stash = qbase.select(F.col("vec_id").alias("_vid"), "embedding")
-    jrows = stash.select(
-        "_vid", "embedding",
-        F.explode(F.array(*[F.lit(j) for j in range(1, 6)])).alias("_j"),
-    )
-    pert = F.transform(
-        F.col("embedding"),
-        lambda x, i: x
-        + ((F.col("_vid") * 131 + (i + 1) * 17 + F.col("_j") * 29) % 7 - 3)
-        * (F.col("_j") * 0.0025),
-    )
-    copies = jrows.select(
-        (F.col("_vid") + 100000 * F.col("_j")).alias("vec_id"),
-        pert.alias("embedding"),
-    )
-    aug = emb.unionByName(copies)
+    aug = _augment_with_planted_copies(emb, qbase, scale=0.0025)
     return (
         lsh_bucket_topk(aug, qbase, k=5, n_planes=8, n_bands=8)
         .select(
@@ -630,8 +629,12 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x, i: x
         + ((F.col("_vid") * 131 + (i + 1) * 17) % 7 - 3) * 0.004,
     )
+    # copy id -(v+1): never collides with a (non-negative) base id at
+    # any corpus size, and the +1 keeps v=0 off its own copy; both
+    # engines order pairs by numeric id_a < id_b, so the relabel stays
+    # hash-comparable (see _augment_with_planted_copies)
     copies = stash.select(
-        (F.col("_vid") + 100000).alias("vec_id"), pert.alias("embedding")
+        (-(F.col("_vid") + 1)).alias("vec_id"), pert.alias("embedding")
     )
     aug = emb.unionByName(copies)
     # cos quantized to an integer at 1e3 scale: Spark's fold-left dot
@@ -998,7 +1001,7 @@ _ANN_IVF_SQL = """
     ), qv AS (
         SELECT vec_id, embedding FROM base WHERE vec_id < 8
     ), copies AS (
-        SELECT qv.vec_id + 100000 * js.j AS vec_id,
+        SELECT -(qv.vec_id * 10 + js.j) AS vec_id,
                list_transform(qv.embedding,
                    (x, i) -> x + ((qv.vec_id*131 + i*17 + js.j*29) % 7 - 3)
                              * (0.004 * js.j)
@@ -1337,7 +1340,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             ), aug AS (
                 SELECT vec_id, embedding FROM base
                 UNION ALL
-                SELECT vec_id + 100000 AS vec_id,
+                SELECT -(vec_id + 1) AS vec_id,
                        list_transform(embedding,
                            (x, i) -> x + ((vec_id*131 + i*17) % 7 - 3) * 0.004
                        ) AS embedding

@@ -352,19 +352,39 @@ def main() -> None:
     # clobbered the recorded sf0.1 artifact); anything else records to
     # BENCH_LOCAL.json. SPARK_GRAFT_RECORD=1 forces the tracked file.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    is_default_run = (
-        "SPARK_GRAFT_SF_DIR" not in os.environ
-        and os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
-        and scaling is not None
-        and "error" not in (scaling or {})
-    ) or os.environ.get("SPARK_GRAFT_RECORD") == "1"
-    out_name = "BENCH_FULL.json" if is_default_run else "BENCH_LOCAL.json"
+    out_name = "BENCH_FULL.json" if is_default_run(scaling) else "BENCH_LOCAL.json"
     try:
         with open(os.path.join(repo_dir, out_name), "w") as f:
             json.dump(result, f, indent=1)
     except OSError as e:
         print(f"# {out_name} write failed: {e}", file=sys.stderr)
     print(compact_result_line(result))
+
+
+def is_default_run(scaling, env=None) -> bool:
+    """True iff this run used the exact recorded-artifact configuration,
+    so it may overwrite the tracked BENCH_FULL.json. ANY knob override —
+    by value, not mere env presence, since the round driver may export
+    defaults explicitly — routes the record to BENCH_LOCAL.json
+    (gitignored). SPARK_GRAFT_RECORD=1 forces the tracked file."""
+    env = os.environ if env is None else env
+    defaults = {
+        "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1",
+        "SPARK_GRAFT_CPUS": "32",
+        "SPARK_GRAFT_WAVE_URLS": "2000000",
+        "SPARK_GRAFT_SCALING_CPUS": "2,8",
+        "SPARK_GRAFT_SCALING_REPEATS": "5",
+        # main() setdefaults this before measuring, so on the default
+        # path the env holds exactly this value
+        "SPARK_GRAFT_SCALING_WAVE_URLS": "8000000",
+        "SPARK_GRAFT_LOCAL_DIR": None,  # default = unset
+    }
+    return (
+        all(env.get(k, v) == v for k, v in defaults.items())
+        and env.get("SPARK_GRAFT_SCALING", "1") != "0"
+        and scaling is not None
+        and "error" not in (scaling or {})
+    ) or env.get("SPARK_GRAFT_RECORD") == "1"
 
 
 def compact_result_line(result: dict, max_bytes: int = 1900) -> str:

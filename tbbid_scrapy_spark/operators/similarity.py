@@ -79,7 +79,25 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     return topk_per_query(scored, k)
 
 
-def _band_sigs_pd(n_bands: int, n_planes: int, seed: int):
+def _embedding_dim(df: DataFrame, col: str = "embedding") -> int:
+    """Reference embedding dimensionality of a dataset: the first
+    non-null, non-empty row's length — one limit-1 job, O(1) at any
+    corpus size. Resolved ONCE per operator call and passed into the
+    signature UDF so which rows count as ragged is a property of the
+    DATASET, not of Arrow batch composition (a per-batch policy made
+    results partition-dependent: the same corpus could yield different
+    candidate sets after a repartition). Returns 0 for an empty/all-null
+    frame (every row then null-signatures, and the operator correctly
+    yields no candidates)."""
+    row = (
+        df.select(F.size(F.col(col)).alias("_d"))
+        .filter(F.col("_d") > 0)
+        .first()
+    )
+    return int(row["_d"]) if row is not None else 0
+
+
+def _band_sigs_pd(n_bands: int, n_planes: int, seed: int, dim: int):
     """Arrow-batched band-signature UDF: ONE numpy matmul per batch
     ((N×dim) @ (dim×total) → sign bits → n_bands packed ints) instead of
     n_bands·n_planes interpreted higher-order plane dots per row — the
@@ -89,13 +107,15 @@ def _band_sigs_pd(n_bands: int, n_planes: int, seed: int):
     Gaussian from a seed derived only from (seed, dim): deterministic
     across partitions, batches, and runs.
 
-    Bad rows don't kill the batch: a null embedding, or one whose length
-    differs from the batch's first valid row (ragged data), gets a NULL
-    signature instead of letting ``np.vstack`` raise and fail the whole
-    Arrow batch — the one-bad-row-kills-the-stage failure class. NULL
-    signatures explode to zero band rows downstream, so such vectors
-    simply never become candidates (callers also pre-filter nulls
-    JVM-side to keep them out of the Arrow transfer)."""
+    ``dim`` is the dataset-level reference dimensionality (see
+    ``_embedding_dim``). Bad rows don't kill the batch: a null
+    embedding, or one whose length differs from ``dim`` (ragged data),
+    gets a NULL signature instead of letting ``np.vstack`` raise and
+    fail the whole Arrow batch — the one-bad-row-kills-the-stage
+    failure class. NULL signatures explode to zero band rows
+    downstream, so such vectors simply never become candidates (callers
+    also pre-filter nulls JVM-side to keep them out of the Arrow
+    transfer)."""
     import numpy as np
 
     total = n_bands * n_planes
@@ -104,21 +124,16 @@ def _band_sigs_pd(n_bands: int, n_planes: int, seed: int):
     def sigs(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype="object")
+        if dim <= 0:  # empty/all-null dataset: no reference dim exists
+            return pd.Series([None] * len(emb), dtype=object)
         vals = emb.to_numpy()
         lens = np.fromiter(
             (len(v) if v is not None else -1 for v in vals),
             dtype=np.int64, count=len(vals),
         )
-        valid = lens > 0
-        if not valid.any():
-            return pd.Series([None] * len(vals), dtype=object)
-        # reference dim = the MAJORITY length among valid rows (ties →
-        # smallest), NOT the first row's: a single corrupted short
-        # vector arriving first in the batch must not null-signature
-        # every well-formed vector behind it
-        udims, counts = np.unique(lens[valid], return_counts=True)
-        dim = int(udims[counts.argmax()])
         good = lens == dim
+        if not good.any():
+            return pd.Series([None] * len(vals), dtype=object)
         m = np.vstack(vals[good])                           # N × dim
         rng = np.random.default_rng(seed * 1_000_003 + dim)
         planes = rng.standard_normal((dim, total))          # dim × total
@@ -171,7 +186,10 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     vectors) and takes near-neighbor recall from p^r to ~1; the r2
     single-bucket design was the measured ~0.43-at-τ=0.95 weak spot.
     Signatures ride the same Arrow-batched matmul as pairs_above."""
-    sig = _band_sigs_pd(n_bands, n_planes, seed)
+    # one reference dim for corpus AND queries: both sides must hash
+    # with the SAME hyperplanes for buckets to be comparable
+    dim = _embedding_dim(corpus)
+    sig = _band_sigs_pd(n_bands, n_planes, seed, dim)
     sig_corpus = corpus.filter(F.col("embedding").isNotNull()).select(
         "vec_id", "embedding",
         F.posexplode(sig(F.col("embedding"))).alias("band", "bucket"),
@@ -387,7 +405,9 @@ def pairs_above(corpus: DataFrame, threshold: float = 0.95,
         # the explode are cheap arithmetic over the cached arrays
         sig_frame = emb.select(
             "vec_id",
-            _band_sigs_pd(n_bands, n_planes, seed)(F.col("embedding")).alias("sigs"),
+            _band_sigs_pd(n_bands, n_planes, seed, _embedding_dim(emb))(
+                F.col("embedding")
+            ).alias("sigs"),
         )
         if persist_sigs:
             sig_frame = scratch.persist(sig_frame)

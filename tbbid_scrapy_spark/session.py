@@ -36,35 +36,53 @@ def _scratch_local_dir() -> str | None:
     """
     override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if override:
-        return override or None
+        try:
+            os.makedirs(override, exist_ok=True)
+            if os.access(override, os.W_OK):
+                return override
+        except OSError:
+            pass
+        return None
     base = "/dev/shm"
     if not (os.path.isdir(base) and os.access(base, os.W_OK)):
         return None
-    d = os.path.join(base, "spark_graft_local")
+    root = os.path.join(base, "spark_graft_local")
+    # one subdir per driver PID: the sweep can then key reclamation on
+    # process LIVENESS instead of mtime (a >6h-old but still-running
+    # session's blockmgr dirs must never be swept out from under it —
+    # dir mtimes go stale while the JVM is appending to shuffle files)
+    d = os.path.join(root, f"pid{os.getpid()}")
     try:
         os.makedirs(d, exist_ok=True)
-        _sweep_stale_scratch(d)
+        _sweep_stale_scratch(root)
         return d
     except OSError:
         return None
 
 
-def _sweep_stale_scratch(d: str, max_age_sec: int = 6 * 3600) -> None:
-    """Best-effort removal of scratch subdirs left by killed JVMs (Spark
+def _sweep_stale_scratch(root: str, max_age_sec: int = 24 * 3600) -> None:
+    """Best-effort reclamation of scratch left by killed JVMs (Spark
     deletes its blockmgr-*/spark-* dirs via shutdown hook, which SIGKILL
-    skips — on tmpfs a leak is RAM, so sweep anything stale)."""
+    skips — on tmpfs a leak is RAM). A `pid<N>` entry is removed iff
+    process N is gone; anything else (legacy layouts) only after
+    max_age_sec. Never touches a live process's directory."""
     import shutil
     import time
 
     now = time.time()
     try:
-        entries = os.listdir(d)
+        entries = os.listdir(root)
     except OSError:
         return
     for name in entries:
-        p = os.path.join(d, name)
+        p = os.path.join(root, name)
         try:
-            if now - os.path.getmtime(p) > max_age_sec:
+            if name.startswith("pid") and name[3:].isdigit():
+                if name != f"pid{os.getpid()}" and not os.path.exists(
+                    f"/proc/{name[3:]}"
+                ):
+                    shutil.rmtree(p, ignore_errors=True)
+            elif now - os.path.getmtime(p) > max_age_sec:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             continue

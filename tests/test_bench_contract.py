@@ -234,3 +234,30 @@ def test_pair_efficiencies_capped_before_median(monkeypatch):
     out = bench_scaling.measure(2, 8, "wave", repeats=5)
     assert out["scaling_efficiency"] == 1.0
     assert out["meets_target"] is True
+
+
+def test_is_default_run_value_compares_every_knob():
+    ok = {"scaling_efficiency": 0.9}
+    base = {"SPARK_GRAFT_SCALING_WAVE_URLS": "8000000"}  # main() setdefaults this
+    assert bench.is_default_run(ok, env=base) is True
+    # explicit-but-default exports (the round driver does this) still count
+    assert bench.is_default_run(ok, env={
+        **base, "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1",
+        "SPARK_GRAFT_CPUS": "32",
+    }) is True
+    # ANY overridden knob routes to BENCH_LOCAL.json
+    for k, v in [
+        ("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        ("SPARK_GRAFT_CPUS", "8"),
+        ("SPARK_GRAFT_WAVE_URLS", "100000"),
+        ("SPARK_GRAFT_SCALING_CPUS", "2,4"),
+        ("SPARK_GRAFT_SCALING_REPEATS", "1"),
+        ("SPARK_GRAFT_SCALING_WAVE_URLS", "100000"),
+        ("SPARK_GRAFT_LOCAL_DIR", "/tmp/x"),
+    ]:
+        assert bench.is_default_run(ok, env={**base, k: v}) is False, k
+    # failed or skipped scaling never records
+    assert bench.is_default_run(None, env=base) is False
+    assert bench.is_default_run({"error": "boom"}, env=base) is False
+    # explicit force wins regardless
+    assert bench.is_default_run(None, env={"SPARK_GRAFT_RECORD": "1"}) is True

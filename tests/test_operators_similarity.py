@@ -200,14 +200,14 @@ def test_band_sigs_null_rows_get_null_signatures(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0, 0.0]), (2, None), (3, [1.0, 0.0]), (4, [0.0, 1.0, 0.0])],
         "vec_id bigint, embedding array<double>",
-    ).coalesce(1)  # one Arrow batch, ORDER KEPT: first valid row sets dim
-    sig = similarity._band_sigs_pd(4, 8, seed=42)
+    ).coalesce(1)
+    sig = similarity._band_sigs_pd(4, 8, seed=42, dim=3)
     rows = {r.vec_id: r.sigs for r in df.select(
         "vec_id", sig(F.col("embedding")).alias("sigs")).collect()}
     assert rows[1] is not None and len(rows[1]) == 4
     assert rows[4] is not None and len(rows[4]) == 4
     assert rows[2] is None          # null embedding
-    assert rows[3] is None          # ragged dim (2 vs batch dim 3)
+    assert rows[3] is None          # ragged dim (2 vs reference dim 3)
 
 
 def test_lsh_bucket_topk_survives_null_embeddings(spark, planted):
@@ -228,17 +228,36 @@ def test_lsh_bucket_topk_survives_null_embeddings(spark, planted):
     assert got == base
 
 
-def test_band_sigs_ragged_first_row_does_not_poison_batch(spark):
-    """The reference dim is the batch MAJORITY, not the first valid
-    row's: a corrupted short vector arriving FIRST must be the one that
-    gets a NULL signature — not every well-formed vector behind it."""
+def test_band_sigs_dim_is_a_dataset_property_not_batch_local(spark):
+    """The reference dim is resolved ONCE per dataset
+    (similarity._embedding_dim) and passed into the UDF, so which rows
+    count as ragged cannot depend on Arrow batch composition or
+    partitioning — a corrupted short vector gets the NULL signature
+    regardless of where in the batch (or which partition) it lands."""
+    rows_in = [(1, [0.5, 0.5]), (2, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0]),
+               (4, [1.0, 1.0, 0.0])]
     df = spark.createDataFrame(
-        [(1, [0.5, 0.5]), (2, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0]),
-         (4, [1.0, 1.0, 0.0])],
-        "vec_id bigint, embedding array<double>",
-    ).coalesce(1)  # one Arrow batch, order kept: ragged row is FIRST
-    sig = similarity._band_sigs_pd(4, 8, seed=42)
-    rows = {r.vec_id: r.sigs for r in df.select(
-        "vec_id", sig(F.col("embedding")).alias("sigs")).collect()}
-    assert rows[1] is None                      # the bad row
-    assert all(rows[v] is not None and len(rows[v]) == 4 for v in (2, 3, 4))
+        rows_in, "vec_id bigint, embedding array<double>"
+    )
+    # ragged row FIRST in a single batch: dataset dim (3) still wins
+    dim = similarity._embedding_dim(df.filter(F.col("vec_id") != 1))
+    assert dim == 3
+    sig = similarity._band_sigs_pd(4, 8, seed=42, dim=dim)
+    for layout in (df.coalesce(1), df.repartition(4, "vec_id")):
+        got = {r.vec_id: r.sigs for r in layout.select(
+            "vec_id", sig(F.col("embedding")).alias("sigs")).collect()}
+        assert got[1] is None                   # the bad row, any layout
+        assert all(got[v] is not None and len(got[v]) == 4 for v in (2, 3, 4))
+
+
+def test_embedding_dim_empty_and_allnull_frames(spark):
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert similarity._embedding_dim(empty) == 0
+    allnull = spark.createDataFrame(
+        [(1, None)], "vec_id bigint, embedding array<double>"
+    )
+    assert similarity._embedding_dim(allnull) == 0
+    # dim<=0 → every signature NULL (no accidental all-zero collisions)
+    sig = similarity._band_sigs_pd(4, 8, seed=42, dim=0)
+    out = allnull.select(sig(F.col("embedding")).alias("sigs")).collect()
+    assert out[0].sigs is None
