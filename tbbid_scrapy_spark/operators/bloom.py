@@ -73,13 +73,34 @@ class BloomSpec:
         return self.n_shards * self.bits_per_shard // 8
 
 
+def _splitmix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (the standard public-domain avalanche
+    permutation): bijective on uint64, mixes every input bit into every
+    output bit. uint64 arithmetic wraps mod 2^64 by design. Shared by
+    the bloom probe derivation and the cuckoo bucket derivation — both
+    consume keys whose RAW low bits were already spent on shard routing
+    (``hash mod n_shards``)."""
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
 def _positions(hashes: np.ndarray, spec: BloomSpec) -> np.ndarray:
     """(n, k) probe positions from 64-bit hashes (Kirsch-Mitzenmacher).
 
     Works on the raw two's-complement int64 from xxhash64; reinterpret as
     uint64 for modular arithmetic.
-    """
-    h = hashes.astype(np.int64).view(np.uint64)
+
+    The hash is REMIXED (splitmix64 finalizer — the standard public
+    avalanche permutation) before the lo/hi split: shard routing consumed
+    ``hash mod n_shards``, so for power-of-two shard counts every key in
+    a shard shares the raw hash's low bits — deriving the probe base
+    from those directly would pin probe 0 to positions ≡ shard (mod
+    gcd(n_shards, m)), concentrating probe-0 bits in ≤1/8 of the
+    byte-aligned bitset and inflating the FP rate past BloomSpec's
+    target. After the bijective remix the probe bits are independent of
+    the bits sharding consumed."""
+    h = _splitmix64(hashes.astype(np.int64).view(np.uint64))
     h_lo = h & np.uint64(0xFFFFFFFF)
     h_hi = (h >> np.uint64(32)) | np.uint64(1)  # odd ⇒ full-period stepping
     i = np.arange(spec.n_probes, dtype=np.uint64)

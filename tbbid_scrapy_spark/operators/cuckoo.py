@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tbbid_scrapy_spark.operators import bloom
+
 SLOTS = 4
 _MIX = np.uint64(0x5BD1E995)
 
@@ -78,7 +80,13 @@ SHARDS_SCHEMA = T.StructType(
 
 
 def _fp_and_buckets(hashes: np.ndarray, n_buckets: int):
-    h = hashes.astype(np.int64).view(np.uint64)
+    # remix before deriving buckets: shard routing consumed the RAW low
+    # bits (hash mod n_shards), so with power-of-two shard and bucket
+    # counts the unmixed ``h & mask`` would pin every key in a shard to
+    # the same n_buckets/n_shards slice of primary buckets — an 8-256x
+    # load concentration that forces early eviction-walk failures. The
+    # bijective splitmix64 makes bucket bits independent of shard bits.
+    h = bloom._splitmix64(hashes.astype(np.int64).view(np.uint64))
     fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
     fp = np.where(fp == 0, np.uint16(1), fp)
     mask = np.uint64(n_buckets - 1)

@@ -117,10 +117,18 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     prefixes, keep the longest, require allow. Hosts with no rule default
     to allow. (The reference ships with ROBOTSTXT_OBEY commented out —
     settings.py:19-20; the engine enforces rules, and parity fixtures use
-    allow-all rules.)"""
+    allow-all rules.)
+
+    Per-ROW semantics: the longest-prefix window partitions by a row
+    identity taken before the join, NOT by url_hash — partitioning by
+    url_hash alone would silently collapse duplicate-url_hash input rows
+    (the natural pre-dedup candidate shape: one URL discovered from two
+    parents) to one arbitrary survivor, dropping the other row with a
+    nondeterministic parent."""
     path = F.parse_url(F.col("url_norm"), F.lit("PATH"))
     matched = (
         frontier.withColumn("_path", path)
+        .withColumn("_row", F.monotonically_increasing_id())
         .join(
             F.broadcast(robots).withColumnRenamed("host", "_rhost"),
             on=[F.col("host") == F.col("_rhost"),
@@ -128,12 +136,12 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
             how="left",
         )
     )
-    w = Window.partitionBy("url_hash").orderBy(F.length("path_prefix").desc_nulls_last())
+    w = Window.partitionBy("_row").orderBy(F.length("path_prefix").desc_nulls_last())
     return (
         matched.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .filter(F.col("allow").isNull() | F.col("allow"))
-        .drop("_rn", "_path", "_rhost", "path_prefix", "allow")
+        .drop("_rn", "_row", "_path", "_rhost", "path_prefix", "allow")
     )
 
 

@@ -523,18 +523,27 @@ class CrawlEngine:
 
     # -- one wave ------------------------------------------------------------
 
+    def _ticker(self, w):
+        """CRAWL_DEBUG=1 per-step wave timing printer (no-op otherwise)."""
+        import os as _os
+
+        _dbg = _os.environ.get("CRAWL_DEBUG")
+        _t = [time.monotonic()]
+
+        def _tick(label):
+            if _dbg:
+                now = time.monotonic()
+                print(f"# wave {w} {label}: {now - _t[0]:.2f}s", flush=True)
+                _t[0] = now
+
+        return _tick
+
     def _run_wave(self, st: CrawlState) -> tuple[CrawlState, int]:
         cfg = self.config
         w = st.wave
         t0 = time.monotonic()
 
-        import os as _os
-        _dbg = _os.environ.get("CRAWL_DEBUG")
-        def _tick(label, _t=[time.monotonic()]):
-            if _dbg:
-                now = time.monotonic()
-                print(f"# wave {w} {label}: {now - _t[0]:.2f}s", flush=True)
-                _t[0] = now
+        _tick = self._ticker(w)
         # adaptive wave parallelism (see CrawlConfig.min_rows_per_task):
         # batch-side ops sized to the pending estimate, link-side ops get
         # 4x headroom for fan-out; shuffle width follows the wave size so
@@ -550,7 +559,10 @@ class CrawlEngine:
         # st.pending IS the live frontier — no state filter, no settled rows
         # in any wave join
         pending = st.pending
-        ranked = fops.politeness_rank(pending, self.politeness, cfg.default_budget)
+        ranked = fops.politeness_rank(
+            pending, self.politeness, cfg.default_budget,
+            salt_buckets=cfg.salt_buckets,
+        )
         # global fetch order; distributed dense index (no single-task window)
         batch, n_batch, h_batch = dense_index(
             ranked,
@@ -561,7 +573,29 @@ class CrawlEngine:
         )
         _tick("dense_index(batch)")
         if n_batch == 0:
+            if h_batch is not None:
+                h_batch.unpersist()
             return st, 0
+        # Every wave-scratch persist is registered in `scratch` and
+        # released in the finally — an exception mid-wave (e.g. a
+        # packed-seq OverflowError a caller catches before retrying with
+        # seq_mode='dense' on the SAME session) must not leave cached
+        # blocks pinned for the session's lifetime.
+        scratch: list = [] if h_batch is None else [h_batch]
+        try:
+            return self._run_wave_body(
+                st, w, t0, cfg, batch, n_batch, links_parts, scratch
+            )
+        finally:
+            for h in scratch:
+                try:
+                    h.unpersist()
+                except Exception:
+                    pass
+
+    def _run_wave_body(self, st, w, t0, cfg, batch, n_batch, links_parts,
+                       scratch):
+        _tick = self._ticker(w)
         # NOTE: no extra repartition here — dense_index range-partitioned
         # the batch by global fetch order, which interleaves hosts evenly,
         # so the hot host is already spread across all tasks for the
@@ -580,6 +614,7 @@ class CrawlEngine:
             fetched = parse_fetched_body(
                 fetch_map_in_pandas(batch, self._transport())
             ).persist()
+            scratch.append(fetched)
         else:
             # sandbox fetch = equi-join on canonical URL (site side:
             # doc_id IS canonical)
@@ -599,6 +634,7 @@ class CrawlEngine:
                 )
                 .persist()
             )
+            scratch.append(fetched)
 
         log_add = fetched.select(
             F.lit(w).alias("wave"), "fetch_pos", "url_norm", "status"
@@ -612,8 +648,19 @@ class CrawlEngine:
             .agg(
                 F.count("*").alias("urls_scheduled"),
                 F.sum((F.col("status") == 200).cast("long")).alias("fetched_ok"),
-                F.sum((F.col("status") == 404).cast("long")).alias("failed_404"),
-                F.sum((F.col("status") == 503).cast("long")).alias("retried_5xx"),
+                # permanent failures = 404 plus any non-retryable error
+                # status (the state machine fails those immediately);
+                # retried = the full RETRYABLE set, not literal 503 only —
+                # real HttpTransport runs see 500/502/429/… too
+                F.sum(
+                    (
+                        (F.col("status") != 200)
+                        & ~F.col("status").isin(RETRYABLE)
+                    ).cast("long")
+                ).alias("failed_404"),
+                F.sum(F.col("status").isin(RETRYABLE).cast("long")).alias(
+                    "retried_5xx"
+                ),
                 F.sum(
                     F.when(F.col("status") == 200, F.size("spans")).otherwise(0)
                 ).alias("spans_extracted"),
@@ -735,6 +782,7 @@ class CrawlEngine:
             fused_seen = bloom_test_insert(
                 children.select("url_hash"), st.shards, cfg.bloom_spec
             ).persist()
+            scratch.append(fused_seen)
             verdicts = fused_seen.filter(F.col("row_kind") == "v").select(
                 "url_hash", "maybe_seen"
             )
@@ -772,6 +820,9 @@ class CrawlEngine:
                 + (F.col("parent_pos").cast("long") * F.lit(1 << 17).cast("long"))
                 + (F.col("eff_pos").cast("long") + F.lit(1 << 16).cast("long")),
             ).persist()
+            # registered BEFORE the overflow checks below: a raised
+            # OverflowError must not leak this persisted frame
+            scratch.append(children)
             stats = children.agg(
                 F.count("*").alias("n"), F.max(F.abs("eff_pos")).alias("max_off")
             ).collect()[0]
@@ -781,7 +832,6 @@ class CrawlEngine:
                     f"seq_mode='packed' supports <2^16 spans/page (got offset "
                     f"{stats['max_off']}); use seq_mode='dense'"
                 )
-            h_children = children
         else:
             children, n_new, h_children = dense_index(
                 children,
@@ -790,6 +840,8 @@ class CrawlEngine:
                 st.next_seq,
                 links_parts,
             )
+            if h_children is not None:
+                scratch.append(h_children)
         _tick("children seq")
         new_shards = st.shards
         if st.shards is not None:
@@ -797,14 +849,14 @@ class CrawlEngine:
                 new_shards = cuckoo_insert(
                     children.select("url_hash"), st.shards, cfg.cuckoo_spec
                 )
-            elif fused_seen is not None:
-                # bits were already set in the fused test+insert pass
+            else:
+                # bloom / hybrid: bits were already set in the fused
+                # test+insert pass above — shards exist only for the three
+                # seen modes, and the non-cuckoo ones always assign
+                # fused_seen, so there is no separate-insert path
+                assert fused_seen is not None, "bloom/hybrid wave without fused pass"
                 new_shards = fused_seen.filter(F.col("row_kind") == "s").select(
                     "shard_id", "bitset", "n_inserted"
-                )
-            else:
-                new_shards = bloom_insert(
-                    children.select("url_hash"), st.shards, cfg.bloom_spec
                 )
 
         f_add = children.withColumn("page_kind", _kind_expr(F.col("url_norm"))).select(
@@ -834,6 +886,12 @@ class CrawlEngine:
             *[c for c in front_cols if c not in ("state", "attempts", "last_status")],
             F.when(F.col("status") == 200, "fetched")
             .when(F.col("status") == 404, "failed")
+            # any other NON-retryable status (401/405/410/451… from a real
+            # HttpTransport) fails permanently, mirroring scrapy's
+            # RETRY_HTTP_CODES semantics — without this branch such rows
+            # stayed 'pending' with attempts never incremented and were
+            # refetched every wave forever (the crawl never drained)
+            .when(~F.col("status").isin(RETRYABLE), "failed")
             .when(F.col("attempts") + 1 >= F.lit(RETRY_LIMIT), "failed")
             .otherwise("pending")
             .alias("state"),
@@ -882,12 +940,12 @@ class CrawlEngine:
                 "wall_ms": int((time.monotonic() - t0) * 1000),
             }
         )
-        # release this wave's scratch blocks; state tables live in the
-        # fresh localCheckpoint/snapshot, so nothing downstream needs them
-        fetched.unpersist()
-        for h in (h_batch, h_children, fused_seen):
-            if h is not None:
-                h.unpersist()
+        # wave-scratch blocks (fetched / batch / children / fused frames,
+        # all registered in `scratch`) are released by _run_wave's
+        # finally — on success AND on any mid-wave exception. Only the
+        # superseded old-state blocks are dropped here, success-path
+        # only: state tables live in the fresh localCheckpoint/snapshot,
+        # so nothing downstream needs them
         for old in (st.pending, *st.seen_parts, st.shards):
             if old is not None:
                 try:
@@ -903,6 +961,18 @@ class CrawlEngine:
         # (adaptive wave parallelism) — restore the session value so
         # unrelated queries on the same session keep their planning width
         prev_shuffle = self.spark.conf.get("spark.sql.shuffle.partitions")
+        # A fresh run re-uses deterministic wave-numbered delta part names
+        # (sink.DeltaTable.write_part), so starting over inside a
+        # checkpoint_dir that already holds a COMMITTED manifest would
+        # overwrite part directories the live manifest still references —
+        # a crash mid-first-commit would then leave that manifest pointing
+        # at clobbered parquet. Refuse instead of corrupting.
+        if not resume and self._catalog and self._catalog.read() is not None:
+            raise ValueError(
+                f"checkpoint dir already holds a committed manifest "
+                f"({self._catalog.root}); pass resume=True to continue it, "
+                "or point checkpoint_dir at a fresh directory"
+            )
         try:
             st = self.resume() if resume else self._initial_state()
             if not resume:

@@ -31,6 +31,32 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _durable_replace(root: str, final: str, content: str) -> None:
+    """Atomically (and DURABLY) replace ``final`` with ``content``:
+    fsync the temp file before the rename and fsync the directory after,
+    so a power loss cannot leave the rename durable while the bytes are
+    not (ext4/xfs delayed allocation) — an empty pointer/manifest after
+    a crash would destroy the only resume point the old file held."""
+    fd, tmp = tempfile.mkstemp(dir=root, prefix=os.path.basename(final) + "_tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+    dfd = os.open(root, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 class SnapshotTable:
     """Versioned parquet table with atomic pointer swap."""
 
@@ -65,21 +91,19 @@ class SnapshotTable:
     def commit(self, df: DataFrame) -> int:
         """Write df as the next version; flip the pointer only after the
         write fully succeeds (crash between write and flip leaves the old
-        version live — lossless resume)."""
-        v = (self.current_version() or 0) + 1
+        version live — lossless resume). The next version consults BOTH
+        the pointer and the directory listing: write_version (manifest
+        mode, pointer never flipped) shares this namespace, and deriving
+        from the pointer alone would overwrite a manifest-referenced
+        version directory."""
+        v = max(self.current_version() or 0, self._max_version()) + 1
         out = self._version_dir(v)
         df.write.mode("overwrite").parquet(out)
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_LATEST_tmp")
-        with os.fdopen(fd, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, self._pointer)
+        _durable_replace(self.root, self._pointer, str(v))
         return v
 
     def rollback_to(self, v: int) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_LATEST_tmp")
-        with os.fdopen(fd, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, self._pointer)
+        _durable_replace(self.root, self._pointer, str(v))
 
     # -- manifest-coordinated mode (multi-table atomic commits) -------------
     # write_version/read_version do NOT touch the _LATEST pointer: a
@@ -160,10 +184,7 @@ class Catalog:
     def commit(self, manifest: dict) -> None:
         import json
 
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_MANIFEST_tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._path)
+        _durable_replace(self.root, self._path, json.dumps(manifest))
 
 
 def to_merge_sql(

@@ -141,3 +141,36 @@ def test_fetch_preserves_all_input_columns(spark, site_df):
                            "status", "body"]
     assert out.filter(F.col("status") != 200).count() == 0
     assert out.count() == 5
+
+
+def test_non_retryable_status_fails_permanently(spark, site_df, politeness_df,
+                                                robots_df):
+    """A status outside {200, 404} ∪ RETRYABLE (e.g. 410 Gone from a real
+    HttpTransport) must settle the row as 'failed' immediately — before
+    this pin such rows stayed 'pending' with attempts never incremented
+    and were refetched every wave until max_waves (the crawl never
+    drained)."""
+    pages = site_to_transport_pages(site_df.collect())
+    base = SyntheticTransport(pages)
+    gone = sorted(pages)[0]  # deterministic victim page
+
+    def transport(url_norm, attempts):
+        if url_norm == gone:
+            return 410, None
+        return base(url_norm, attempts)
+
+    st = CrawlEngine(
+        spark, site_df, sitegen.default_seeds(), politeness_df, robots_df,
+        CrawlConfig(max_waves=50, fetch_mode="mapinpandas"),
+        transport=transport,
+    ).run()
+    front = {r.url_norm: (r.state, r.last_status, r.attempts)
+             for r in st.frontier.collect()}
+    assert gone in front, "victim page never scheduled — vacuous test"
+    state, last_status, attempts = front[gone]
+    assert state == "failed"
+    assert last_status == 410
+    assert attempts == 0  # failed immediately, never retried
+    # the crawl drained: no live pending rows left behind by 410s
+    assert all(s != "pending" or ls is None
+               for s, ls, _ in front.values()), "undrained pending rows"

@@ -120,3 +120,27 @@ def test_politeness_under_budget_skips_window(spark):
     # the property that matters: selection == all pending
     sel = politeness_rank(_pending_fixture(spark, 50), lifted)
     assert sel.count() == 50
+
+
+def test_apply_robots_keeps_duplicate_url_hash_rows(spark):
+    """The exported longest-prefix robots operator is per-ROW: two input
+    rows with the same url_hash (one URL discovered from two parents —
+    the natural pre-dedup candidate shape) must BOTH survive; the old
+    url_hash-partitioned window silently collapsed them to one arbitrary
+    row with a nondeterministic parent."""
+    from tbbid_scrapy_spark.operators.frontier import apply_robots
+
+    frontier = spark.createDataFrame(
+        [
+            ("h.example.org", "https://h.example.org/a/1", 11, "p1"),
+            ("h.example.org", "https://h.example.org/a/1", 11, "p2"),
+            ("h.example.org", "https://h.example.org/blocked/x", 12, "p1"),
+        ],
+        "host string, url_norm string, url_hash long, parent string",
+    )
+    robots = spark.createDataFrame(
+        [("h.example.org", "/", True), ("h.example.org", "/blocked", False)],
+        "host string, path_prefix string, allow boolean",
+    )
+    out = apply_robots(frontier, robots).collect()
+    assert sorted((r.url_hash, r.parent) for r in out) == [(11, "p1"), (11, "p2")]
