@@ -735,23 +735,28 @@ def q_url_from_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cookie_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F17: cookie string → map (bid_notice.py:11-20), previously
     pytest-only. The synthesized cookie carries untrimmed ' token = v '
-    segments and a trailing ';' (empty pair must be dropped); the oracle
-    recomputes the expected values arithmetically, so any parse/trim
-    drift breaks the hash. Values are projected out of the map (a map
-    column itself would break the driver's sort-based canonicalizer)."""
+    segments, a bare no-'=' segment (must be DROPPED, the reference's
+    `if '=' in pair` guard), a base64-padded value whose '==' must
+    survive the split-on-FIRST-'=' semantics, and a trailing ';' (empty
+    pair must be dropped); the oracle recomputes the expected values
+    arithmetically, so any parse/trim drift breaks the hash. Values are
+    projected out of the map (a map column itself would break the
+    driver's sort-based canonicalizer)."""
     from tbbid_scrapy_spark.functions.extract import cookie_to_map
 
     d = _t(spark, sf_dir, "documents")
     cookie = F.concat(
         F.lit("JSESSIONID=s"), (F.col("doc_id") % 97).cast("string"),
         F.lit("; token = t"), (F.col("doc_id") % 7).cast("string"),
-        F.lit(" ;lang=en;"),
+        F.lit(" ;arialoadData;b64=d"), (F.col("doc_id") % 13).cast("string"),
+        F.lit("==;lang=en;"),
     )
     m = cookie_to_map(cookie)
     return d.select(
         "doc_id",
         m.getItem("JSESSIONID").alias("sid"),
         m.getItem("token").alias("token"),
+        m.getItem("b64").alias("b64"),
         F.size(m).alias("n_keys"),
     ).orderBy("doc_id")
 
@@ -1035,7 +1040,7 @@ _CORPUS_FILTER_SQL = f"""
     WITH feats AS (
         SELECT doc_id, text,
                CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS INT) AS n_words,
-               (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+               (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g'))) * 1.0
                  / greatest(length(text), 1) AS punct_ratio,
                regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
         FROM documents
@@ -1305,7 +1310,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT doc_id,
                    len(string_split({_NORM}, ' ')) AS n_words,
                    len(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS n_tokens,
-                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   round((length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g')))
                          * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
                    round(len(list_filter(string_split({_NORM}, ' '),
                                          w -> list_contains({_STOP_EN}, w)))
@@ -1420,13 +1425,15 @@ def _oracle_sql_literal() -> dict[str, str]:
             ) ORDER BY doc_id
         """,
         # F17: the oracle recomputes the expected parse results
-        # arithmetically — any trim/split/empty-pair drift in
-        # cookie_to_map breaks the hash.
+        # arithmetically — any trim/split/empty-pair/first-'='/bare-key
+        # drift in cookie_to_map breaks the hash (the b64 value pins
+        # split-on-FIRST-'=': an every-'=' split would truncate 'dN==').
         "cookie_map": """
             SELECT doc_id,
                    's' || CAST(doc_id % 97 AS VARCHAR) AS sid,
                    't' || CAST(doc_id % 7 AS VARCHAR) AS token,
-                   3 AS n_keys
+                   'd' || CAST(doc_id % 13 AS VARCHAR) || '==' AS b64,
+                   4 AS n_keys
             FROM documents ORDER BY doc_id
         """,
         # J5: Python-zip truncate-to-shorter over parallel arrays; the

@@ -93,8 +93,14 @@ def extract_section_number(title: Column) -> Column:
     chinese_raw = F.regexp_extract(title, r"总承包(.*?)标段", 1)
     has_chinese_match = title.rlike("总承包.*?标段")
     num = chinese_to_arabic_pd(chinese_raw)
+    # try_cast, not cast: under an ANSI-on session a digit run that
+    # overflows int32 (or the '' of a non-matching title, if the branch
+    # is ever evaluated eagerly) would raise and kill the job; overflow
+    # falls through to the default like any other unparseable section.
+    digit_int = digit.try_cast("int")
     return (
-        F.when(digit != "", F.format_string("%03d", digit.cast("int")))
+        F.when((digit != "") & digit_int.isNotNull(),
+               F.format_string("%03d", digit_int))
         .when(has_chinese_match & (num == F.lit(-1)), F.lit("-01"))
         .otherwise(F.lit("001"))
     )

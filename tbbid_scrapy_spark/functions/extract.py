@@ -112,12 +112,20 @@ def multi_format_timestamp(col: Column) -> Column:
 
 
 def cookie_to_map(cookie: Column) -> Column:
-    """Cookie string → map via ';' then '=' (F17, bid_notice.py:11-20);
-    keys/values trimmed."""
-    pairs = F.filter(F.split(cookie, ";"), lambda p: F.trim(p) != "")
+    """Cookie string → map via ';' then '=' (F17, bid_notice.py:11-20).
+
+    Reference-faithful on the two semantics that matter: each pair is
+    split on its FIRST '=' only (``pair.split('=', 1)`` — a base64
+    value's '=' padding survives intact), and pairs WITHOUT '=' are
+    dropped entirely (the ``if '=' in pair`` guard), which also drops
+    the empty segment a trailing ';' produces. Keys/values are trimmed
+    (documented normalization; the reference's cookies carry no spaces
+    around '=', so this never diverges on reference data)."""
+    pairs = F.filter(F.split(cookie, ";"), lambda p: F.instr(p, "=") > 0)
+    kv = F.transform(pairs, lambda p: F.split(p, "=", 2))
     return F.map_from_arrays(
-        F.transform(pairs, lambda p: F.trim(F.split(p, "=").getItem(0))),
-        F.transform(pairs, lambda p: F.trim(F.split(p, "=").getItem(1))),
+        F.transform(kv, lambda a: F.trim(a.getItem(0))),
+        F.transform(kv, lambda a: F.trim(a.getItem(1))),
     )
 
 

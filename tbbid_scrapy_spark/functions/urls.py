@@ -105,6 +105,11 @@ def canonicalize_url_pd(urls: pd.Series) -> pd.Series:
 # canonicalized) while crashing the Arrow UDF in python mode: same crawl,
 # mode-dependent behavior. Out-of-range ports now take the Python path,
 # which maps them to None like every other invalid URL.
+# Anchored with \z, NOT $: Java's $ also matches just BEFORE a final
+# line terminator, so 'http://a/b\n' would claim the JVM path (where
+# parse_url → java.net.URI rejects it → url_norm NULL and every such
+# URL collapses to one xxhash64 identity) instead of the Python path
+# that strips the \n. \z matches only at the true end of input.
 PLAIN_URL_RE = (
     r"^[Hh][Tt][Tt][Pp][Ss]?://"
     r"[A-Za-z0-9.\-]+"
@@ -112,7 +117,7 @@ PLAIN_URL_RE = (
     r"|65[0-4][0-9]{2}|655[0-2][0-9]|6553[0-5]))?"
     r"(/[^?#\t\n\r ]*)?"
     r"(\?[A-Za-z0-9_.~=&\-]*)?"
-    r"(#[^\t\n\r]*)?$"
+    r"(#[^\t\n\r]*)?\z"
 )
 
 

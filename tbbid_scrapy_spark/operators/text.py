@@ -43,7 +43,12 @@ def quality_features(col: Column) -> dict[str, Column]:
     n_words = F.size(words)
     en = F.array([F.lit(w) for w in STOPWORDS["en"]])
     stop_hits = F.size(F.filter(words, lambda w: F.array_contains(en, w)))
-    n_punct = n_chars - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    # Unicode-aware punctuation class: Java \w is ASCII-only, so the old
+    # [^\w\s] counted every ü/é/汉 as punctuation and the quality gate
+    # rejected clean documents in exactly the languages STOPWORDS covers.
+    # \p{L}\p{N} are identical Unicode general categories in Java regex
+    # and DuckDB's RE2, so the oracle SQL uses the same class verbatim.
+    n_punct = n_chars - F.length(F.regexp_replace(col, r"[^\p{L}\p{N}_\s]", ""))
     mean_word_len = F.when(
         n_words > 0,
         F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / n_words,

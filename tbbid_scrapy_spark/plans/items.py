@@ -78,10 +78,20 @@ def listing_projects(extracted: DataFrame) -> DataFrame:
     kept = links.filter(
         ~F.col("text").contains("监理") & ~F.col("text").contains("造价咨询")
     )
-    return kept.select(
-        "stage_url",
-        title_suffix_trim(F.col("text")).alias("title"),
-    ).dropDuplicates(["stage_url"])
+    # Deterministic dedup: the same /project/<id> link can appear on
+    # several listing pages with different anchor text; dropDuplicates
+    # would keep a plan/partitioning-dependent arbitrary row. Keep the
+    # FIRST sighting in listing-scan order ((doc_id, offset) is a total
+    # order over spans) so reruns of identical input emit identical rows.
+    return (
+        kept.select(
+            "stage_url",
+            title_suffix_trim(F.col("text")).alias("title"),
+            F.struct("doc_id", "offset").alias("_ord"),
+        )
+        .groupBy("stage_url")
+        .agg(F.min_by("title", F.col("_ord")).alias("title"))
+    )
 
 
 def stage_project_ids(extracted: DataFrame) -> DataFrame:
@@ -92,10 +102,17 @@ def stage_project_ids(extracted: DataFrame) -> DataFrame:
         & (F.col("kind") == "table_cell")
         & F.col("text").startswith("项目编号：")
     )
-    return cells.select(
-        F.col("doc_id").alias("stage_url"),
-        split_colon_field(F.col("text"), 1).alias("project_id"),
-    ).dropDuplicates(["stage_url"])
+    # min_by offset, not dropDuplicates: if a page ever carried two
+    # 项目编号 cells the kept one must not depend on partitioning.
+    return (
+        cells.select(
+            F.col("doc_id").alias("stage_url"),
+            split_colon_field(F.col("text"), 1).alias("project_id"),
+            F.col("offset"),
+        )
+        .groupBy("stage_url")
+        .agg(F.min_by("project_id", F.col("offset")).alias("project_id"))
+    )
 
 
 def notice_analysis(extracted: DataFrame) -> DataFrame:

@@ -81,7 +81,18 @@ MERGE_SPECS: dict[str, dict] = {
     "bid_section": {
         "keys": ["project_id", "section_id"],
         "cols": SECTION_COLS,
-        "on_matched_sql": {c: _KEEP.format(c=c) for c in SECTION_COLS[2:]},
+        "on_matched_sql": {
+            **{c: _KEEP.format(c=c) for c in SECTION_COLS[2:]},
+            # status follows the MERGED winning evidence: the reference
+            # sets status ONLY on the rank path (bidSaver.py:367-375) — a
+            # bid/section item arriving after rank 1 must not downgrade
+            # 'completed' back to the source's wave-local 'pending'.
+            "status": (
+                "CASE WHEN coalesce(s.winning_bidder, t.winning_bidder)"
+                " IS NOT NULL THEN 'completed'"
+                " ELSE coalesce(s.status, t.status) END"
+            ),
+        },
     },
     "bid": {"keys": ["project_id", "section_id", "bidder_name"], "cols": BID_COLS},
     "bid_rank": {"keys": ["project_id", "section_id", "rank"], "cols": RANK_COLS},
@@ -89,7 +100,15 @@ MERGE_SPECS: dict[str, dict] = {
         "keys": ["corp_code"],
         "cols": COMPANY_COLS,
         "on_matched_sql": {
-            "bid_count": "coalesce(t.bid_count, 0) + coalesce(s.bid_count, 0)"
+            "bid_count": "coalesce(t.bid_count, 0) + coalesce(s.bid_count, 0)",
+            # the reference keeps the stored value unless the new one is
+            # truthy (`if adapter.get('others')`, CompanyEmployee.py:122-123)
+            # — every other company field is overwritten unconditionally,
+            # which is merge_upsert's default.
+            "others": (
+                "CASE WHEN s.others IS NOT NULL AND s.others != ''"
+                " THEN s.others ELSE t.others END"
+            ),
         },
     },
     "employee": {"keys": ["merge_key"], "cols": EMPLOYEE_COLS},
@@ -200,18 +219,8 @@ def upsert_wave(
         ready[k] = df.join(known, "project_id", "left_semi")
         new_pending[k] = df.join(known, "project_id", "left_anti")
 
-    # 3. section auto-create + merge
-    sect_in = derive_sections(ready)
-    new_sections = merge_upsert(
-        current["bid_section"], sect_in.select(*SECTION_COLS),
-        ["project_id", "section_id"],
-        on_matched={
-            c: (lambda col: F.coalesce(F.col(f"s.{col}"), F.col(f"t.{col}")))
-            for c in SECTION_COLS[2:]
-        },
-    )
-
-    # 4. bid + rank merges on their natural keys
+    # 3. bid + rank merges on their natural keys (before sections: the
+    #    section roll-up below reads the MERGED bid table)
     new_bid = merge_upsert(
         current["bid"], ready["bid"].select(*BID_COLS),
         ["project_id", "section_id", "bidder_name"],
@@ -219,6 +228,40 @@ def upsert_wave(
     new_rank = merge_upsert(
         current["bid_rank"], ready["bid_rank"].select(*RANK_COLS),
         ["project_id", "section_id", "rank"],
+    )
+
+    # 4. section auto-create + merge. bid_size and status are NOT taken
+    #    from the wave-local evidence — both are re-derived from merged
+    #    state so the final table is identical for any arrival order:
+    #    - bid_size = count over the MERGED bid table (a wave-local count
+    #      would overwrite the true total when one section's bids arrive
+    #      across waves);
+    #    - status   = 'completed' iff the MERGED winning_bidder is known
+    #      (the reference sets status only on the rank path,
+    #      bidSaver.py:367-375 — a bids-only wave must never downgrade a
+    #      completed section back to 'pending').
+    sect_in = derive_sections(ready)
+    merged_sections = merge_upsert(
+        current["bid_section"], sect_in.select(*SECTION_COLS),
+        ["project_id", "section_id"],
+        on_matched={
+            c: (lambda col: F.coalesce(F.col(f"s.{col}"), F.col(f"t.{col}")))
+            for c in SECTION_COLS[2:]
+        },
+    )
+    bid_counts = new_bid.groupBy("project_id", "section_id").agg(
+        F.count("*").cast("int").alias("_bid_size")
+    )
+    new_sections = (
+        merged_sections.drop("bid_size", "status")
+        .join(bid_counts, ["project_id", "section_id"], "left")
+        .withColumn("bid_size", F.col("_bid_size"))
+        .withColumn(
+            "status",
+            F.when(F.col("winning_bidder").isNotNull(), "completed")
+            .otherwise("pending"),
+        )
+        .select(*SECTION_COLS)
     )
 
     # 5. join-derived project stage + session_size (order-independent
@@ -259,14 +302,18 @@ def upsert_wave(
 def upsert_company(current: DataFrame, incoming: DataFrame) -> DataFrame:
     """corp_code-keyed merge with bid_count accumulation on re-sight
     (CompanyEmployee.py:105-141; increment :121-122 done set-wise: the
-    incoming side carries this batch's sighting count)."""
-    return merge_upsert(
-        current, incoming, ["corp_code"],
-        on_matched={
-            "bid_count": lambda c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
-            + F.coalesce(F.col(f"s.{c}"), F.lit(0)),
-        },
-    )
+    incoming side carries this batch's sighting count). ``others`` keeps
+    the stored value unless the new one is truthy (:122-123); all other
+    fields take the source value unconditionally like the reference."""
+    on_matched = {
+        "bid_count": lambda c: F.coalesce(F.col(f"t.{c}"), F.lit(0))
+        + F.coalesce(F.col(f"s.{c}"), F.lit(0)),
+    }
+    if "others" in current.columns:
+        on_matched["others"] = lambda c: F.when(
+            F.col(f"s.{c}").isNotNull() & (F.col(f"s.{c}") != ""), F.col(f"s.{c}")
+        ).otherwise(F.col(f"t.{c}"))
+    return merge_upsert(current, incoming, ["corp_code"], on_matched=on_matched)
 
 
 def employee_merge_key(df: DataFrame) -> DataFrame:

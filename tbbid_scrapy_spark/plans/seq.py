@@ -8,9 +8,14 @@ through ONE task — the classic global-window scale trap. Instead:
    (global sort, fully parallel);
 2. count rows per partition (tiny driver-side collect — one row per
    partition);
-3. broadcast the cumulative offsets and add them to the per-partition
-   row_number (window partitioned by spark_partition_id ⇒ no shuffle,
-   each partition numbers itself).
+3. add the broadcast cumulative offsets to the per-partition row index.
+   The index comes from the low 33 bits of monotonically_increasing_id()
+   (partition id in the high bits, a 0-based per-partition row counter in
+   the low 33) — a pure projection over the already-sorted partitions.
+   A window partitioned by spark_partition_id would instead force an
+   Exchange hashpartitioning(_pid) + re-sort (RangePartitioning does not
+   satisfy the window's required clustering), i.e. a SECOND full shuffle
+   of the frontier per wave.
 
 The result equals the single-task global row_number but every stage is
 partition-parallel; this is the standard two-pass global-indexing scheme
@@ -18,7 +23,7 @@ partition-parallel; this is the standard two-pass global-indexing scheme
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -52,9 +57,13 @@ def dense_index(
     offset_map = F.create_map(
         *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
     )
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    # Low 33 bits of monotonically_increasing_id = 0-based row index
+    # within the physical partition being scanned (rows are already in
+    # order from sortWithinPartitions); the stored _pid keys the offset.
+    # No window ⇒ no Exchange ⇒ the only shuffle is the range partition.
+    row_in_part = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
     out = d.withColumn(
         out_col,
-        (F.row_number().over(w) - 1 + F.element_at(offset_map, F.col("_pid")) + F.lit(start)).cast("long"),
+        (row_in_part + F.element_at(offset_map, F.col("_pid")) + F.lit(start)).cast("long"),
     ).drop("_pid")
     return out, acc, d

@@ -167,17 +167,39 @@ def stream_frontier_foreachBatch(
     from tbbid_scrapy_spark.functions.urls import with_url_norm
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         s = batch_df.sparkSession
         norm = with_url_norm(batch_df).dropDuplicates(["url_hash"])
         try:
             seen = s.read.parquet(seen_table_path)
             novel = norm.join(seen.select("url_hash"), "url_hash", "left_anti")
-        except Exception:
+        except AnalysisException as e:
+            # ONLY the expected first-batch case (no seen table yet) may
+            # disable dedup; a transient read failure must propagate so
+            # the batch retries — swallowing it would re-enqueue every
+            # already-crawled URL in the batch (re-crawl storm).
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
             novel = norm
-        novel.select("url_hash", "url_norm").write.mode("append").parquet(seen_table_path)
-        novel.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            frontier_out_path
-        )
+        # Pin `novel` before writing: the two appends must see the SAME
+        # snapshot (the second action would otherwise re-read a seen table
+        # that now contains the first write's rows).
+        novel = novel.persist()
+        try:
+            # Frontier FIRST, seen second. A failure between the writes then
+            # re-delivers the batch with the URLs still absent from `seen`,
+            # so the retry re-emits them: duplicate frontier rows (dedup'd
+            # downstream on url_hash) instead of URLs marked seen but never
+            # enqueued — at-least-once, never silent loss.
+            novel.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                frontier_out_path
+            )
+            novel.select("url_hash", "url_norm").write.mode("append").parquet(
+                seen_table_path
+            )
+        finally:
+            novel.unpersist()
 
     return (
         url_stream.writeStream.foreachBatch(process_batch)

@@ -114,6 +114,43 @@ def test_cookie_to_map(spark):
     assert got == {"a": "1", "b": "2", "c": "3"}
 
 
+def test_cookie_to_map_first_equals_and_bare_keys(spark):
+    """Reference parity (bid_notice.py:11-20): pairs split on the FIRST
+    '=' only — a base64 value's '=' padding survives — and pairs without
+    '=' are skipped entirely (`if '=' in pair`), not kept as null keys."""
+    raw = "sess=dGVzdA==; arialoadData; k=v=w; t=1;"
+
+    def reference_twin(cookie_str):   # bid_notice.py:11-20 semantics
+        cookies = {}
+        for pair in cookie_str.strip().split(";"):
+            if "=" in pair:
+                key, value = pair.strip().split("=", 1)
+                cookies[key] = value
+        return cookies
+
+    expected = reference_twin(raw)
+    df = spark.createDataFrame([(raw,)], "s string")
+    got = df.select(cookie_to_map(F.col("s"))).collect()[0][0]
+    assert got == expected == {"sess": "dGVzdA==", "k": "v=w", "t": "1"}
+
+
+def test_extract_section_number_ansi_overflow(spark):
+    """A digit run that overflows int32 must not raise under an ANSI-on
+    session (the driver harness runs one); it falls through to '001'
+    like any other unparseable section (try_cast, not cast)."""
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame(
+            [("某项目(3000000000标段)施工",), ("某项目(21标段)施工",), ("普通标题",)],
+            "title string",
+        )
+        got = [r[0] for r in df.select(extract_section_number(F.col("title"))).collect()]
+        assert got == ["001", "021", "001"]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+
+
 def test_province_from_usci(spark):
     df = spark.createDataFrame([("91540000X",), ("91110000Y",), ("91990000Z",)], "u string")
     got = [r[0] for r in df.select(province_from_usci(F.col("u"))).collect()]
@@ -203,6 +240,9 @@ def test_jvm_canonicalizer_byte_equal_on_plain(spark):
         "https://h.org:65536/p",          # port out of range: urlsplit rejects
         "https://h.org:70000/p",          # port out of range (5-digit)
         "https://h.org:99999/p",          # old regex's upper admit bound
+        "https://h.org/p\n",              # trailing \n: Java $ matches before it
+        "https://h.org/p\r\n",            # trailing \r\n: same final-terminator leak
+        "https://h.org/p#f\n",            # terminator after fragment
     ]
     df = spark.createDataFrame([(u,) for u in urls + non_plain], "url string")
     rows = df.select(
@@ -219,3 +259,21 @@ def test_jvm_canonicalizer_byte_equal_on_plain(spark):
     by_url = {r.url: r.plain for r in rows}
     for u in non_plain:
         assert not by_url[u], f"non-plain URL admitted to JVM path: {u}"
+
+
+def test_trailing_newline_url_same_in_both_modes(spark):
+    """A URL with a trailing line terminator must canonicalize identically
+    in hybrid and python modes. Java's $ matches before a FINAL \\n, so a
+    '$'-anchored plain-predicate would route 'http://a/b\\n' to the JVM
+    path where parse_url (java.net.URI) NULLs it — collapsing every such
+    URL onto one xxhash64 identity; \\z anchoring keeps them on the
+    Python path, which strips the terminator (urlsplit semantics)."""
+    from tbbid_scrapy_spark.functions.urls import with_url_norm
+
+    urls = ["http://h.org/a\n", "https://h.org/b\r\n", "https://h.org/c"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    hybrid = {r.url: r.url_norm for r in with_url_norm(df, mode="hybrid").collect()}
+    python = {r.url: r.url_norm for r in with_url_norm(df, mode="python").collect()}
+    assert hybrid == python
+    assert hybrid["http://h.org/a\n"] == "http://h.org/a"
+    assert hybrid["https://h.org/b\r\n"] == "https://h.org/b"

@@ -148,6 +148,92 @@ def test_children_before_parent_roll_forward(spark):
     assert srow.status == "pending" and srow.bid_size == 1
 
 
+def test_listing_dedup_is_first_sighting(spark):
+    """The same /project/<id> link on two listing pages with different
+    anchor text must resolve to ONE deterministic title — the first
+    sighting in (doc_id, offset) scan order — regardless of partitioning
+    (dropDuplicates would keep a plan-dependent arbitrary row)."""
+    from tbbid_scrapy_spark.plans.crawl import EXTRACTED_SCHEMA
+    from tbbid_scrapy_spark.plans.items import listing_projects
+
+    rows = [
+        ("https://h.cn/listing?p=2", "link", "乙标题工程", "/project/P7", 3, 0),
+        ("https://h.cn/listing?p=1", "link", "甲标题工程", "/project/P7", 5, 0),
+        ("https://h.cn/listing?p=1", "link", "另一个工程", "/project/P8", 9, 0),
+    ]
+    for n_parts in (1, 7):
+        ex = spark.createDataFrame(rows, EXTRACTED_SCHEMA).repartition(n_parts)
+        got = {r.stage_url: r.title for r in listing_projects(ex).collect()}
+        assert len(got) == 2
+        # first sighting in (doc_id, offset) order: listing?p=1 sorts
+        # before listing?p=2, so 甲标题工程 wins deterministically
+        assert got["https://h.cn/project/P7"] == "甲标题工程"
+        assert got["https://h.cn/project/P8"] == "另一个工程"
+
+
+def test_completed_section_survives_later_bid_waves(spark):
+    """Order-independence of the section state machine: rank 1 arriving in
+    wave 1 completes the section; bids-only waves afterwards must neither
+    downgrade status to 'pending' (the reference sets status ONLY on the
+    rank path, bidSaver.py:367-375) nor reset bid_size to the wave-local
+    count — bid_size is the count over the MERGED bid table."""
+    empty = relational.empty_tables(spark)
+    no_bid = spark.createDataFrame(
+        [], "project_id string, section_id string, bidder_name string, bid_amount double")
+    no_ctl = spark.createDataFrame(
+        [], "project_id string, section_id string, lot_ctl_amt double")
+    no_rank = spark.createDataFrame(
+        [], "project_id string, section_id string, bidder_name string, rank int,"
+            "manager_name string, win_amt double")
+    proj = spark.createDataFrame(
+        [("P1", "标题", "https://h/p/P1", None, None, None, None, None)],
+        "project_id string, title string, url string, notice_content string,"
+        "construction_funds string, project_duration string, company_req string,"
+        "person_req string")
+    no_proj = spark.createDataFrame([], proj.schema)
+
+    # wave 1: project + rank 1 (winner known, zero bids yet)
+    rank_w1 = spark.createDataFrame(
+        [("P1", "001", "甲公司", 1, "张三", 99.5)], no_rank.schema)
+    t1, p1 = relational.upsert_wave(
+        empty, {"project": proj, "bid": no_bid, "lot_ctl": no_ctl, "bid_rank": rank_w1})
+    s1 = t1["bid_section"].collect()[0]
+    assert s1.status == "completed" and s1.winning_bidder == "甲公司"
+    assert s1.bid_size is None  # no bids yet
+
+    # wave 2: two bids for the same section, no rank items at all
+    bid_w2 = spark.createDataFrame(
+        [("P1", "001", "甲公司", 90.0), ("P1", "001", "乙公司", 95.0)], no_bid.schema)
+    t2, _ = relational.upsert_wave(
+        t1, {"project": no_proj, "bid": bid_w2, "lot_ctl": no_ctl, "bid_rank": no_rank}, p1)
+    s2 = t2["bid_section"].collect()[0]
+    assert s2.status == "completed", "bids-only wave downgraded a completed section"
+    assert s2.winning_bidder == "甲公司"
+    assert s2.bid_size == 2
+
+    # wave 3: one MORE bid — bid_size must be the cross-wave total, not 1
+    bid_w3 = spark.createDataFrame([("P1", "001", "丙公司", 97.0)], no_bid.schema)
+    t3, _ = relational.upsert_wave(
+        t2, {"project": no_proj, "bid": bid_w3, "lot_ctl": no_ctl, "bid_rank": no_rank})
+    s3 = t3["bid_section"].collect()[0]
+    assert s3.status == "completed" and s3.bid_size == 3
+
+
+def test_company_others_kept_unless_truthy(spark):
+    """CompanyEmployee.py:122-123: `if adapter.get('others')` — an empty/
+    NULL incoming `others` keeps the stored value; a truthy one replaces."""
+    cur = spark.createDataFrame(
+        [("C1", "甲公司", 1, "历史备注"), ("C2", "乙公司", 1, "旧")],
+        "corp_code string, name string, bid_count int, others string",
+    )
+    inc = spark.createDataFrame(
+        [("C1", "甲公司", 1, ""), ("C2", "乙公司", 1, "新备注")],
+        "corp_code string, name string, bid_count int, others string",
+    )
+    out = {r.corp_code: r.others for r in relational.upsert_company(cur, inc).collect()}
+    assert out == {"C1": "历史备注", "C2": "新备注"}
+
+
 def test_company_bid_count_increment(spark):
     cur = spark.createDataFrame(
         [("C1", "甲公司", 3)], "corp_code string, name string, bid_count int"

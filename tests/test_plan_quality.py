@@ -144,3 +144,33 @@ def test_apply_robots_keeps_duplicate_url_hash_rows(spark):
     )
     out = apply_robots(frontier, robots).collect()
     assert sorted((r.url_hash, r.parent) for r in out) == [(11, "p1"), (11, "p2")]
+
+
+def test_dense_index_has_no_hash_exchange(spark):
+    """dense_index's per-partition numbering must be a pure projection —
+    a window partitioned by _pid would insert a SECOND full shuffle
+    (Exchange hashpartitioning) after the range partition, doubling the
+    frontier's shuffle volume every wave. Only rangepartitioning (the
+    global sort) may appear, and the result must still equal the
+    single-task global row_number."""
+    from tbbid_scrapy_spark.plans.seq import dense_index
+
+    df = (
+        spark.range(0, 5000)
+        .withColumn("k", (F.col("id") * 2654435761) % 1117)
+        .repartition(5)
+    )
+    out, total, handle = dense_index(df, ["k", "id"], num_partitions=4)
+    try:
+        plan = _explain(out, "simple")
+        assert "hashpartitioning" not in plan, plan
+        assert "rangepartitioning" in plan
+        rows = out.select("k", "id", "seq").collect()
+        expected = {(r.k, r.id): i for i, r in
+                    enumerate(sorted(rows, key=lambda r: (r.k, r.id)))}
+        assert total == 5000
+        for r in rows:
+            assert r.seq == expected[(r.k, r.id)]
+    finally:
+        if handle is not None:
+            handle.unpersist()

@@ -98,6 +98,37 @@ def test_stream_frontier_foreachBatch(spark, tmp_path):
     assert seen.select("url_hash").distinct().count() == 7
 
 
+def test_stream_frontier_corrupt_seen_table_fails_loudly(spark, tmp_path):
+    """A transient/corrupt seen-table read must FAIL the batch (so the
+    stream retries with dedup intact), not be swallowed as 'no seen table
+    yet' — a blanket except here silently re-enqueues every
+    already-crawled URL in the batch (re-crawl storm)."""
+    d = tmp_path / "urls"
+    spark.createDataFrame(
+        [("https://h.example.org/p/1",)], "url string"
+    ).write.parquet(str(d))
+    seen_dir = tmp_path / "seen"
+    seen_dir.mkdir()
+    # not a parquet file: the read fails with something OTHER than
+    # path-not-found, which must propagate
+    (seen_dir / "part-00000.parquet").write_bytes(b"this is not parquet")
+    stream = spark.readStream.schema("url string").parquet(str(d))
+    q = sc.stream_frontier_foreachBatch(
+        spark, stream, str(seen_dir), str(tmp_path / "frontier2"),
+        str(tmp_path / "ck5"),
+    )
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.PySparkException):
+        q.awaitTermination(120)
+    # nothing may have been appended to the frontier on the failed batch
+    import os
+    fdir = tmp_path / "frontier2"
+    assert not fdir.exists() or not [
+        f for f in os.listdir(fdir) if f.endswith(".parquet")
+    ]
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
