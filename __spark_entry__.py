@@ -990,12 +990,6 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
-# End-to-end corpus filter oracle: quality gate (word count + punct
-# ratio, mirroring operators/text.quality_features exactly — \w and \s
-# are ASCII in both Java and RE2 regex engines, so accented letters
-# count as punctuation consistently) → lang argmax (same CASE as the
-# lang_id oracle) → exact-dedup keep-min per normalized text → drop any
-# survivor that is id_b of an exact-Jaccard ≥ 0.5 pair among survivors.
 # Brute-force top-k over the planted-augmented corpus (see q_ann_ivf):
 # base embeddings + 5 deterministic perturbed copies of each query
 # vector. Exact ground truth for the n_probe=4/16 IVF run.
@@ -1036,6 +1030,14 @@ _ANN_IVF_SQL = """
     ) WHERE rank <= 5 ORDER BY query_id, rank
 """
 
+# End-to-end corpus filter oracle: quality gate (word count + punct
+# ratio, mirroring operators/text.quality_features exactly — the
+# [^\p{L}\p{N}_\s] punctuation class is the same Unicode general-
+# category semantics in Java regex and DuckDB's RE2, so accented/CJK
+# letters are NOT punctuation in either engine) → lang argmax (same
+# CASE as the lang_id oracle) → exact-dedup keep-min per normalized
+# text → drop any survivor that is id_b of an exact-Jaccard ≥ 0.5 pair
+# among survivors.
 _CORPUS_FILTER_SQL = f"""
     WITH feats AS (
         SELECT doc_id, text,

@@ -154,6 +154,20 @@ def bench_wave(spark, n_urls: int = 2_000_000, dup_ratio: float = 0.25) -> dict:
     raw = raw.persist()
     raw.count()  # exclude generation from the measurement
 
+    # Snapshot the setup stages (URL generation, cache fill, bloom-shard
+    # init) so a stage-split consumer can exclude exactly what the timed
+    # region excludes — counting the embarrassingly-parallel generation
+    # in map_wall_sec would inflate map_speedup and the projected
+    # efficiency relative to the workload `sec` actually times. Only
+    # possible when the UI REST endpoint is up (bench_scaling workers).
+    setup_ids = None
+    try:
+        if spark.sparkContext.uiWebUrl:
+            from tbbid_scrapy_spark import stagemetrics
+            setup_ids = stagemetrics.completed_stage_ids(spark)
+    except Exception:
+        setup_ids = None
+
     from tbbid_scrapy_spark.functions.urls import with_url_norm
 
     t0 = _t.monotonic()
@@ -203,6 +217,10 @@ def bench_wave(spark, n_urls: int = 2_000_000, dup_ratio: float = 0.25) -> dict:
         "bloom_inserted": int(n_inserted),
         "sec": round(sec, 3),
         "urls_per_sec": round(n_urls / sec, 1),
+        # private: stage (id, attempt) pairs completed before the timed
+        # region (None when the UI is off) — consumers pop this and pass
+        # it to stagemetrics.stage_split(exclude=...)
+        "_setup_stage_ids": setup_ids,
     }
 
 
@@ -220,6 +238,7 @@ def main() -> None:
     # degrade it — GC + storage-pool pressure)
     bench_wave(spark, n_urls=100_000)  # warmup codegen + python workers
     wave = bench_wave(spark, n_urls=int(os.environ.get("SPARK_GRAFT_WAVE_URLS", "2000000")))
+    wave.pop("_setup_stage_ids", None)  # stage ids are for stage_split consumers
     print(f"# wave: {wave}", file=sys.stderr)
     spark.catalog.clearCache()
 
@@ -377,6 +396,9 @@ def is_default_run(scaling, env=None) -> bool:
         # main() setdefaults this before measuring, so on the default
         # path the env holds exactly this value
         "SPARK_GRAFT_SCALING_WAVE_URLS": "8000000",
+        "SPARK_GRAFT_FRONTIER_LISTINGS": "4",
+        "SPARK_GRAFT_FRONTIER_PROJECTS": "3000",
+        "SPARK_GRAFT_DRIVER_MEM": "24g",  # session.py default
         "SPARK_GRAFT_LOCAL_DIR": None,  # default = unset
     }
     return (

@@ -74,7 +74,12 @@ elif mode == "wave":
     out = bench.bench_wave(spark, n_urls=n_urls)
     out["wall_sec"] = out["sec"]
     out["work_units"] = out["urls_in"]
-    out["stage_split"] = stagemetrics.stage_split(spark, exclude=warmup_ids)
+    # exclude the warmup run AND bench_wave's own setup stages (8M-URL
+    # generation + cache fill + shard init) — the timed `sec` excludes
+    # them, so the stage decomposition must cover the same stage set
+    setup_ids = out.pop("_setup_stage_ids", None) or set()
+    out["stage_split"] = stagemetrics.stage_split(
+        spark, exclude=warmup_ids | set(map(tuple, setup_ids)))
 else:
     import __spark_entry__ as entrymod
     import bench

@@ -23,17 +23,13 @@ Span = tuple[str, str | None, str | None, int]  # (kind, text, media_ref, offset
 
 
 def _kind_of(url: str) -> str:
-    path = "/" + url.split("://", 1)[-1].split("/", 1)[1] if "/" in url.split("://", 1)[-1] else "/"
-    for kind, marker in [
-        ("candidates", "/candidates/"),
-        ("bids", "/bids/"),
-        ("notice", "/notice/"),
-        ("stage", "/project/"),
-        ("listing", "/listing"),
-    ]:
-        if path.startswith(marker):
-            return kind
-    return "other"
+    # one dispatch table for all fixture oracles (markers are disjoint,
+    # so sharing the simulator's rule cannot change any classification);
+    # the ENGINE keeps its own independent dispatch in plans/items.py —
+    # that is the parity boundary, not simulator-vs-twin.
+    from tbbid_scrapy_spark.fixtures.simulator import kind_of_url
+
+    return kind_of_url(url)
 
 
 def _pid(url: str, marker: str) -> str:
@@ -158,18 +154,10 @@ QUAL_KEYWORDS = ["工程施工", "工程专业", "承包贰级", "承包壹级"]
 
 
 def _corp_kind(url: str) -> str:
-    path = "/" + url.split("://", 1)[-1].split("/", 1)[1] if "/" in url.split("://", 1)[-1] else "/"
-    for kind, marker in [
-        ("corp_search", "/corp/search"),
-        ("corp_detail", "/corp/detail"),
-        ("emp_list", "/corp/emps"),
-        ("person_perf_list", "/corp/listpersonperformance"),
-        ("perf_detail", "/corp/perfdetail"),
-        ("security_list", "/corp/security"),
-    ]:
-        if path.startswith(marker):
-            return kind
-    return "other"
+    # shared dispatch table — see _kind_of
+    from tbbid_scrapy_spark.fixtures.simulator import kind_of_url
+
+    return kind_of_url(url)
 
 
 def _qparam(url: str, key: str) -> str | None:

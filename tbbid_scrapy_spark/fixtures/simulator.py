@@ -11,7 +11,8 @@ It implements the deterministic skeleton of the reference's crawl loop:
   (bid_info.py:90 iterates ``reversed(data['data'])``);
 - request-fingerprint dedup at enqueue time (Scrapy default dupefilter —
   first enqueue wins);
-- retries: 3 attempts on 5xx (settings.py:77-79), 404 fails immediately
+- retries: 3 retries after the first attempt on 5xx (4 total fetches —
+  scrapy RETRY_TIMES semantics, settings.py:77-79), 404 fails immediately
   (404 ∉ RETRY_HTTP_CODES);
 - robots rules enforced at enqueue (north-star requirement; the
   reference ships with ROBOTSTXT_OBEY off — settings.py:19-20 — so parity
@@ -32,6 +33,9 @@ from tbbid_scrapy_spark.fixtures.sitegen import PRIORITY_BY_KIND, Page
 from tbbid_scrapy_spark.functions.urls import canonicalize_url_py
 
 RETRY_LIMIT = 3  # RETRY_TIMES, settings.py:77
+# Scrapy's RETRY_TIMES counts retries IN ADDITION to the first attempt
+# (retry.py middleware), so RETRY_TIMES=3 allows 4 total fetches.
+MAX_ATTEMPTS = RETRY_LIMIT + 1
 RETRYABLE = {403, 500, 502, 503, 504, 522, 524, 408, 429}  # settings.py:78-79
 
 
@@ -159,7 +163,7 @@ def simulate_crawl(
             if e.attempts < page.fail_first:
                 e.attempts += 1
                 e.last_status = 503
-                e.state = "failed" if e.attempts >= RETRY_LIMIT else "pending"
+                e.state = "failed" if e.attempts >= MAX_ATTEMPTS else "pending"
                 continue
             e.state, e.last_status = "fetched", 200
             extracted[e.url_norm] = list(page.spans)

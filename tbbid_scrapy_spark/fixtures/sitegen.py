@@ -113,8 +113,12 @@ def build_site(
 
     Span layout per page kind:
     - listing     : title text span, project links (anchor text = title),
-                    next-page link LAST (the reference walks data reversed
-                    then paginates — bid_info.py:90,120-124).
+                    then the next-page link, then a robots-blocked admin
+                    link and a cache-busted self link (canonicalizer
+                    food) — so pagination is THIRD-from-last, not last
+                    (the reference walks data reversed then paginates —
+                    bid_info.py:90,120-124; the two trailing links never
+                    fetch: admin is disallowed, refresh dedups).
     - stage       : project_id table_cell ('项目编号：<pid>'), links to
                     notice/bids/candidates, one media span (site logo).
     - notice      : title span, HTML body text span, one media image span.

@@ -12,7 +12,8 @@ a driver-side loop over declarative DataFrame waves:
                     (the sandbox 'fetch' — a real deployment swaps in an
                     HTTP mapInPandas with the same row contract)
       4. states   = fetched / failed / retry (attempts+1, 5xx only,
-                    ≤3 attempts — settings.py:77-79 semantics)
+                    ≤4 total fetches = first attempt + RETRY_TIMES=3
+                    retries — settings.py:77-79 semantics)
       5. parse    = explode spans of 200-pages; links (listing pages in
                     REVERSE span order — bid_info.py:90) become children
       6. children = resolve+canonicalize (Arrow UDF) → robots filter →
@@ -64,6 +65,9 @@ from tbbid_scrapy_spark.sources.sink import Catalog, DeltaTable, SnapshotTable
 _DELTA_TABLES = ("done", "seen", "fetch_log", "extracted", "metrics")
 
 RETRY_LIMIT = 3
+# Scrapy's RETRY_TIMES counts retries IN ADDITION to the first attempt,
+# so RETRY_TIMES=3 allows 4 total fetches before the URL settles failed.
+MAX_ATTEMPTS = RETRY_LIMIT + 1
 RETRYABLE = [403, 500, 502, 503, 504, 522, 524, 408, 429]
 
 FETCH_LOG_SCHEMA = T.StructType(
@@ -892,7 +896,7 @@ class CrawlEngine:
             # stayed 'pending' with attempts never incremented and were
             # refetched every wave forever (the crawl never drained)
             .when(~F.col("status").isin(RETRYABLE), "failed")
-            .when(F.col("attempts") + 1 >= F.lit(RETRY_LIMIT), "failed")
+            .when(F.col("attempts") + 1 >= F.lit(MAX_ATTEMPTS), "failed")
             .otherwise("pending")
             .alias("state"),
             F.when(F.col("status").isin(RETRYABLE), F.col("attempts") + 1)

@@ -239,9 +239,11 @@ def merge_upsert(
     """Set-oriented MERGE: WHEN MATCHED update / WHEN NOT MATCHED insert.
 
     - ``source`` is first deduplicated on ``keys`` (last row wins by
-      ``source_order``, else arbitrary-but-deterministic by the key
-      columns) — the batch analog of the reference processing items
-      sequentially where the last write wins.
+      ``source_order``; the default orders by ALL columns — key columns
+      cannot break ties between rows sharing that key, so a keys-only
+      order would keep a shuffle-dependent arbitrary row when the same
+      key arrives with different payloads). Callers whose source carries
+      non-orderable columns (maps) must pass ``source_order``.
     - default matched behavior: source column replaces target column when
       source is matched (full-row update, like bidSaver.py's
       update-else-insert); per-column overrides via ``on_matched``
@@ -257,7 +259,7 @@ def merge_upsert(
         f"schema mismatch: {target.columns} vs {source.columns}"
     )
 
-    order_cols = source_order or keys
+    order_cols = source_order or (keys + data_cols)
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
     src = (
         source.withColumn("_rn", F.row_number().over(w))

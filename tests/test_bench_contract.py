@@ -254,6 +254,9 @@ def test_is_default_run_value_compares_every_knob():
         ("SPARK_GRAFT_SCALING_REPEATS", "1"),
         ("SPARK_GRAFT_SCALING_WAVE_URLS", "100000"),
         ("SPARK_GRAFT_LOCAL_DIR", "/tmp/x"),
+        ("SPARK_GRAFT_FRONTIER_LISTINGS", "1"),
+        ("SPARK_GRAFT_FRONTIER_PROJECTS", "100"),
+        ("SPARK_GRAFT_DRIVER_MEM", "4g"),
     ]:
         assert bench.is_default_run(ok, env={**base, k: v}) is False, k
     # failed or skipped scaling never records

@@ -124,6 +124,38 @@ def test_retry_semantics(spark, politeness_df, robots_df):
         assert eng_states[u] == (e.state, e.attempts), u
 
 
+def test_retry_exhaustion_boundary_is_scrapy_semantics(spark, politeness_df, robots_df):
+    """RETRY_TIMES=3 means 3 retries IN ADDITION to the first attempt
+    (scrapy retry middleware): a page that 503s exactly 3 times succeeds
+    on its 4th fetch; one that 503s 4 times settles 'failed' with
+    attempts=4. Engine and simulator must agree on the boundary."""
+    site = sitegen.build_site(n_listing_pages=1, projects_per_listing=4, seed=11)
+    stages = [u for u, p in site.items() if p.page_kind == "stage"]
+    edge_ok, edge_fail = sorted(stages)[0], sorted(stages)[1]
+    site[edge_ok].fail_first = 3     # succeeds on attempt 4
+    site[edge_fail].fail_first = 4   # exhausts the retry budget
+    sim = simulate_crawl(
+        site, sitegen.default_seeds(), sitegen.default_politeness(),
+        sitegen.default_robots(), max_waves=80,
+    )
+    from tests.conftest import SITE_SCHEMA
+
+    site_df = spark.createDataFrame(sitegen.site_to_rows(site), SITE_SCHEMA)
+    eng = CrawlEngine(
+        spark, site_df, sitegen.default_seeds(), politeness_df, robots_df,
+        CrawlConfig(max_waves=80),
+    )
+    st = eng.run()
+    eng_states = {
+        r.url_norm: (r.state, r.attempts) for r in st.frontier.collect()
+    }
+    assert eng_states[edge_ok] == ("fetched", 3)
+    assert eng_states[edge_fail] == ("failed", 4)
+    for u, e in sim.entries.items():
+        assert eng_states[u] == (e.state, e.attempts), u
+    assert _engine_order(st) == sim.fetch_log
+
+
 def test_simulated_politeness_clock(engine_state, politeness_df):
     """The derived politeness timeline respects the reference's rate
     ceiling: per wave, a host with budget 4 and 2s delay contributes

@@ -86,3 +86,23 @@ def test_merge_sql_executes_on_a_real_merge_capable_engine(spark):
                     + F.coalesce(F.col(f"s.{c}"), F.lit(0))},
     )
     assert {(r.corp_code, r.bid_count) for r in emulated.collect()} == set(got.items())
+
+
+def test_merge_upsert_duplicate_key_dedup_is_deterministic(spark):
+    """Source rows sharing a key but differing in payload must resolve to
+    the SAME kept row regardless of partitioning: the default dedup
+    order is keys + all data columns (keys alone cannot break the tie,
+    leaving a shuffle-dependent arbitrary winner)."""
+    from tbbid_scrapy_spark.sources.sink import merge_upsert
+
+    target = spark.createDataFrame([("K1", 0.0, "old")], "k string, amt double, tag string")
+    dup_rows = [("K1", 5.0, "a"), ("K1", 9.0, "b"), ("K2", 1.0, "c"), ("K2", 1.0, "c")]
+    results = set()
+    for n_parts in (1, 3, 7):
+        src = spark.createDataFrame(dup_rows, target.schema).repartition(n_parts)
+        out = merge_upsert(target, src, ["k"])
+        results.add(tuple(sorted(map(tuple, out.collect()))))
+    assert len(results) == 1, f"partitioning-dependent merge result: {results}"
+    # desc over (keys, data cols): K1 keeps (9.0, 'b')
+    kept = {r.k: (r.amt, r.tag) for r in out.collect()}
+    assert kept["K1"] == (9.0, "b") and kept["K2"] == (1.0, "c")
