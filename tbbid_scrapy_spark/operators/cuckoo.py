@@ -114,12 +114,16 @@ def _with_shard(df: DataFrame, spec: CuckooSpec, hash_col: str) -> DataFrame:
     )
 
 
-def _table_of(shard_pdf: pd.DataFrame, spec: CuckooSpec) -> np.ndarray:
-    return (
-        np.frombuffer(shard_pdf["table"].iloc[0], dtype=np.uint16)
-        .reshape(spec.buckets_per_shard, SLOTS)
-        .copy()
+def _table_of(shard_pdf: pd.DataFrame, spec: CuckooSpec,
+              copy: bool = True) -> np.ndarray:
+    """Shard bytes → (buckets, SLOTS) uint16 view. ``copy=False`` returns
+    the read-only frombuffer view — the membership test never mutates,
+    and at the 10^10 spec (~23 MB/shard) an unconditional memcpy per
+    Arrow batch is pure waste; insert/delete MUST copy (they mutate)."""
+    view = np.frombuffer(shard_pdf["table"].iloc[0], dtype=np.uint16).reshape(
+        spec.buckets_per_shard, SLOTS
     )
+    return view.copy() if copy else view
 
 
 def cuckoo_test(candidates: DataFrame, shards: DataFrame, spec: CuckooSpec,
@@ -136,7 +140,7 @@ def cuckoo_test(candidates: DataFrame, shards: DataFrame, spec: CuckooSpec,
             return pd.DataFrame(columns=cols + ["maybe_seen"])
         if shard_pdf.empty:
             return cand_pdf.assign(maybe_seen=False)
-        table = _table_of(shard_pdf, spec)
+        table = _table_of(shard_pdf, spec, copy=False)  # read-only probe
         fp, i1, i2 = _fp_and_buckets(cand_pdf[hash_col].to_numpy(), spec.buckets_per_shard)
         hit = (table[i1] == fp[:, None]).any(axis=1) | (
             table[i2] == fp[:, None]

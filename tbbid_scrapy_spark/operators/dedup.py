@@ -122,6 +122,22 @@ def _exploded_shingles(documents: DataFrame, n: int) -> DataFrame:
     )
 
 
+def _drop_stop_shingles(ex: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """Filter exploded (doc_id, shingle) rows to shingles with document
+    frequency ≤ the cap — the single shared implementation of the
+    stop-shingle guard (shingle_candidates and ngram_jaccard_pairs must
+    agree on its semantics or the candidate+verify and count-based paths
+    silently diverge)."""
+    if max_shingle_df is None:
+        return ex
+    rare = (
+        ex.groupBy("shingle").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("shingle")
+    )
+    return ex.join(rare, "shingle", "inner")
+
+
 def shingle_hash_sets(documents: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sh array<bigint>): each document's distinct word-n-gram
     set as xxhash64 values — the shared input of fingerprinting
@@ -160,9 +176,13 @@ def verify_pairs_jaccard(documents: DataFrame, pairs: DataFrame,
         .select(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
+            # try_divide: a caller-supplied pair of sub-n-word documents
+            # has two EMPTY shingle sets (union size 0) — under an
+            # ANSI-on session a plain '/' would raise DIVIDE_BY_ZERO and
+            # kill the query; NULL jaccard fails any ≥ τ filter instead.
+            F.try_divide(
+                F.size(F.array_intersect("sh_a", "sh_b")),
+                F.size(F.array_union("sh_a", "sh_b")),
             ).alias("jaccard"),
         )
     )
@@ -181,14 +201,7 @@ def shingle_candidates(documents: DataFrame, n: int = 3,
     cap never binds (max df ≈ 9 at sf0.01), so results equal the uncapped
     exact computation; the excluded-shingle count is observable via
     ``stop_shingle_stats``."""
-    ex = _exploded_shingles(documents, n)
-    if max_shingle_df is not None:
-        rare = (
-            ex.groupBy("shingle").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
-        )
-        ex = ex.join(rare, "shingle", "inner")
+    ex = _drop_stop_shingles(_exploded_shingles(documents, n), max_shingle_df)
     a = ex.alias("a")
     b = ex.alias("b")
     return (
@@ -240,14 +253,7 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.8
     FULL shingle sets (its candidate stage has no df cap), so the two
     operators agree exactly on fixtures but diverge on boilerplate-heavy
     pairs at web scale — sub-cap Jaccard here, full Jaccard there."""
-    ex = _exploded_shingles(documents, n)
-    if max_shingle_df is not None:
-        rare = (
-            ex.groupBy("shingle").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
-        )
-        ex = ex.join(rare, "shingle", "inner")
+    ex = _drop_stop_shingles(_exploded_shingles(documents, n), max_shingle_df)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
@@ -272,12 +278,22 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.8
     )
 
 
-def minhash_signatures(documents: DataFrame, n: int = 3, num_hashes: int = 32) -> DataFrame:
+def minhash_signatures(documents: DataFrame, n: int = 3, num_hashes: int = 32,
+                       sets_: DataFrame | None = None) -> DataFrame:
     """(doc_id, sig array<bigint>) — sig[i] = min over shingles of
-    xxhash64(shingle, seed=i). One explode + one groupBy with
+    xxhash64(shingle, i). One explode + one groupBy with
     ``num_hashes`` min() aggregates, all codegen'd; map-side partial
-    aggregation means the shuffle carries one row per doc."""
-    ex = _exploded_shingles(documents, n)
+    aggregation means the shuffle carries one row per doc.
+
+    ``sets_``: a pre-computed ``shingle_hash_sets`` frame — components
+    become min over xxhash64(shingle_hash, i), an equally valid minhash
+    family (an independent rehash per component of the same distinct
+    set), letting a pipeline share ONE shingle materialization between
+    signatures and exact verification instead of re-scanning the text."""
+    if sets_ is not None:
+        ex = sets_.select(F.col("doc_id"), F.explode("sh").alias("shingle"))
+    else:
+        ex = _exploded_shingles(documents, n)
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -327,7 +343,8 @@ def minhash_lsh_candidates(documents: DataFrame, n: int = 3, num_hashes: int = 3
 
 def minhash_lsh_pairs(documents: DataFrame, n: int = 3, num_hashes: int = 32,
                       bands: int = 8, threshold: float = 0.5,
-                      verify: str = "exact") -> DataFrame:
+                      verify: str = "exact",
+                      persist_sets: bool = True) -> DataFrame:
     """Near-dup pairs via banded minhash LSH candidates + verification.
 
     verify='exact' (default): candidates are re-scored with the TRUE
@@ -340,11 +357,25 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, num_hashes: int = 32,
     verify='est': candidates are scored by the fraction of agreeing
     signature components (the unbiased Jaccard estimator) — cheaper at
     scale (no second look at the text), output
-    (id_a, id_b, jaccard_est)."""
-    sigs = minhash_signatures(documents, n, num_hashes)
+    (id_a, id_b, jaccard_est).
+
+    The shingle sets are materialized ONCE (scratch-persisted, caller-
+    releasable) and shared by signatures and the exact verifier — the
+    same one-materialization shape simhash_verified_pairs uses; without
+    it this operator scanned + re-shingled the corpus twice more (the
+    signature explode and the verifier's set build).
+    ``persist_sets=False`` skips the in-memory persist (at 100 TB
+    materialize the sets to a table instead — a persisted corpus-wide
+    array column would overrun the storage pool)."""
+    from tbbid_scrapy_spark.operators import scratch as _scratch
+
+    sets_ = shingle_hash_sets(documents, n)
+    if persist_sets:
+        sets_ = _scratch.persist(sets_)
+    sigs = minhash_signatures(documents, n, num_hashes, sets_=sets_)
     cand = minhash_lsh_candidates(documents, n, num_hashes, bands, sigs=sigs)
     if verify == "exact":
-        return verify_pairs_jaccard(documents, cand, n).filter(
+        return verify_pairs_jaccard(documents, cand, n, sets_=sets_).filter(
             F.col("jaccard") >= threshold
         )
     sig_a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))

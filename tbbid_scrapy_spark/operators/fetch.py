@@ -41,24 +41,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # body payload schema: the synthetic page serialized the way a parsed
-# HTML/JSON response would be handed to the extractor stage
+# HTML/JSON response would be handed to the extractor stage. Built FROM
+# schemas.SPAN (single source of truth) so the mapInPandas fetch path's
+# from_json can never silently drop a field the join-based path carries
+# — a hand-copied struct here once meant a new SPAN field would decode
+# as null in one mode only.
+from tbbid_scrapy_spark import schemas as _schemas
+
 PAGE_BODY_SCHEMA = T.StructType(
     [
         T.StructField("page_kind", T.StringType(), True),
-        T.StructField(
-            "spans",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("kind", T.StringType(), True),
-                        T.StructField("text", T.StringType(), True),
-                        T.StructField("media_ref", T.StringType(), True),
-                        T.StructField("offset", T.IntegerType(), True),
-                    ]
-                )
-            ),
-            True,
-        ),
+        T.StructField("spans", T.ArrayType(_schemas.SPAN), True),
     ]
 )
 
@@ -158,20 +151,16 @@ def parse_fetched_body(fetched: DataFrame) -> DataFrame:
 
 
 def site_to_transport_pages(site_rows: list) -> dict[str, dict]:
-    """Fixture site rows (schemas.DOCUMENTS + fail_first) → transport map."""
+    """Fixture site rows (schemas.DOCUMENTS + fail_first) → transport map.
+    Span fields come from schemas.SPAN so all three copies of the span
+    contract (DOCUMENTS, PAGE_BODY_SCHEMA, this serializer) stay in
+    lockstep."""
+    span_fields = [f.name for f in _schemas.SPAN.fields]
     return {
         r.doc_id: {
             "page_kind": r.page_kind,
             "fail_first": r.fail_first,
-            "spans": [
-                {
-                    "kind": s.kind,
-                    "text": s.text,
-                    "media_ref": s.media_ref,
-                    "offset": s.offset,
-                }
-                for s in r.spans
-            ],
+            "spans": [{k: s[k] for k in span_fields} for s in r.spans],
         }
         for r in site_rows
     }

@@ -18,7 +18,7 @@ SURVEY.md §2.11) onto declarative DataFrame ops:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -41,52 +41,20 @@ def dedup_exact(candidates: DataFrame, seen: DataFrame,
     return in_batch.join(seen.select(hash_col), on=hash_col, how="left_anti")
 
 
-def robots_allow_expr(rules: list[tuple[str, str, bool]]) -> "Column":
-    """Zero-shuffle robots check: the (tiny, per-host-prefix) rule table is
-    folded into a literal map host → array<struct(prefix, allow)> with
-    prefixes pre-sorted longest-first, so longest-prefix-wins resolution is
-    a per-row expression (element_at + filter + head) — no join, no window,
-    constant-folded where possible. Hosts with no rule default to allow.
-
-    Expects columns ``url_norm`` and ``host`` on the frame it is applied
-    to. This is the engine's hot-path robots operator; the DataFrame-join
-    variant below exists for rule tables too large to inline (requires
-    them broadcastable either way)."""
-    by_host: dict[str, list[tuple[str, bool]]] = {}
-    for host, prefix, allow in rules:
-        by_host.setdefault(host, []).append((prefix, allow))
-    entries = []
-    for host, rs in by_host.items():
-        rs.sort(key=lambda r: -len(r[0]))  # longest prefix first
-        arr = F.array(
-            *[
-                F.struct(F.lit(p).alias("prefix"), F.lit(a).alias("allow"))
-                for p, a in rs
-            ]
-        )
-        entries.extend([F.lit(host), arr])
-    if not entries:
-        return F.lit(True)
-    rules_map = F.create_map(*entries)
-    path = F.parse_url(F.col("url_norm"), F.lit("PATH"))
-    host_rules = F.element_at(rules_map, F.col("host"))
-    matched = F.filter(host_rules, lambda r: path.startswith(r["prefix"]))
-    first = F.element_at(matched, 1)
-    return F.when(host_rules.isNull() | (F.size(matched) == 0), F.lit(True)).otherwise(
-        first["allow"]
-    )
-
-
 def apply_robots_joined(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Scalable robots enforcement: rules pre-aggregated to ONE row per
     host (prefixes sorted longest-first), broadcast, equi-joined on host —
     an O(1) hash probe per row followed by a filter over that host's few
-    prefixes. Longest-prefix-wins; hosts without rules default to allow.
+    prefixes. Longest-prefix-wins; identical-prefix ties resolve
+    allow-wins (the struct sort puts allow=true first after the reverse —
+    the least-restrictive-rule tie convention); hosts without rules
+    default to allow.
 
-    This is the engine's robots operator. (A literal-map expression
-    variant exists below for tiny inline rule sets, but Spark evaluates
-    map literals by LINEAR scan per lookup — at ~1000 rules that is
-    ~4000 string compares per row; the broadcast join stays O(1).)"""
+    This is the engine's robots operator. (An earlier literal-map
+    expression variant was removed: Spark evaluates map literals by
+    LINEAR scan per lookup — at ~1000 rules that is ~4000 string
+    compares per row; the broadcast join stays O(1) — and it had no
+    callers.)"""
     per_host = robots.groupBy("host").agg(
         F.reverse(
             F.array_sort(
@@ -136,7 +104,13 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
             how="left",
         )
     )
-    w = Window.partitionBy("_row").orderBy(F.length("path_prefix").desc_nulls_last())
+    # allow desc as the tiebreak: identical-prefix rules with conflicting
+    # allow resolve allow-wins, matching apply_robots_joined (a
+    # length-only order left the winner to row_number's arbitrary pick)
+    w = Window.partitionBy("_row").orderBy(
+        F.length("path_prefix").desc_nulls_last(),
+        F.col("allow").desc_nulls_last(),
+    )
     return (
         matched.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -58,7 +58,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide, not '/': an all-zero embedding anywhere in the corpus
+    # would otherwise raise DIVIDE_BY_ZERO under an ANSI-on session (the
+    # driver harness runs one) and kill the whole stage — the same
+    # one-bad-row failure class _band_sigs_pd is hardened against.
+    # NULL cosine falls out of every threshold/top-k comparison.
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
@@ -248,7 +253,7 @@ def ivf_index(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
     )
     for _ in range(iters):
         assigned = assign_ivf(corpus, centroids)
-        centroids = (
+        recomputed = (
             assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.avg("x").alias("m"))
@@ -259,6 +264,15 @@ def ivf_index(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
                     lambda s: s["m"].cast("float"),
                 ).alias("centroid")
             )
+        )
+        # A cluster that attracted zero vectors this iteration emits no
+        # recomputed row; silently dropping it would shrink the index
+        # below n_centroids (ivf_topk's n_probe/n_centroids recall math
+        # assumes the full list count). Keep its previous centroid.
+        centroids = (
+            centroids.select("cid", F.col("centroid").alias("_prev"))
+            .join(recomputed, "cid", "left")
+            .select("cid", F.coalesce("centroid", "_prev").alias("centroid"))
         )
     return centroids, assign_ivf(corpus, centroids)
 

@@ -36,7 +36,12 @@ def simulated_clock(
         )
         .groupBy("wave", "host")
         .agg(F.count("*").alias("n"))
-        .join(F.broadcast(politeness.select("host", "delay_s").dropDuplicates(["host"])),
+        # min-aggregate, not dropDuplicates: duplicate politeness rows
+        # for one host would otherwise pick a shuffle-dependent delay
+        # (politeness_rank defends the same hazard, frontier.py). No
+        # broadcast hint either — a per-host table is unbounded at crawl
+        # scale and a forced broadcast OOMs the driver; let AQE decide.
+        .join(politeness.groupBy("host").agg(F.min("delay_s").alias("delay_s")),
               "host", "left")
         .withColumn("delay_s", F.coalesce(F.col("delay_s"), F.lit(default_delay_s)))
         .withColumn(

@@ -86,17 +86,10 @@ SEEDS = T.StructType(
     ]
 )
 
-METRICS = T.StructType(
-    [
-        T.StructField("wave", T.IntegerType(), False),
-        T.StructField("partition_id", T.IntegerType(), False),
-        T.StructField("urls_scheduled", T.LongType(), False),
-        T.StructField("urls_deduped", T.LongType(), False),
-        T.StructField("pages_parsed", T.LongType(), False),
-        T.StructField("items_emitted", T.LongType(), False),
-        T.StructField("wall_ms", T.LongType(), False),
-    ]
-)
+# The engine's per-wave metrics schema lives where it is produced:
+# plans/crawl.py METRICS_SCHEMA (wave, host, fetched_ok, failed_404,
+# retried_5xx, spans_extracted). An earlier divergent METRICS struct
+# here had zero consumers and could only mislead — removed.
 
 # ---------------------------------------------------------------------------
 # Relational target tables (mirror /root/reference/xizang/models/models.py)

@@ -360,3 +360,54 @@ def test_embedding_near_dup_lsh_equals_exact_on_driver_fixture(spark):
     }
     assert len(exact) == 500  # one planted pair per fixture vector
     assert lsh == exact
+
+
+def test_verify_pairs_empty_shingle_sets_null_not_crash(spark):
+    """A candidate pair of sub-n-word documents has two EMPTY shingle
+    sets: jaccard must be NULL (0/0 via try_divide), never a
+    DIVIDE_BY_ZERO crash under an ANSI-on session."""
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        docs = spark.createDataFrame(
+            [(1, "short title"), (2, "tiny"), (3, "a much longer document body here")],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+        out = {(r.id_a, r.id_b): r.jaccard
+               for r in dedup.verify_pairs_jaccard(docs, pairs, n=3).collect()}
+        assert out[(1, 2)] is None        # both sets empty → NULL, no crash
+        assert out[(1, 3)] == 0.0         # empty vs non-empty → 0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_minhash_shares_one_shingle_materialization(spark, corpus):
+    """minhash_lsh_pairs(verify='exact') derives signatures AND the
+    verifier from ONE scratch-persisted shingle_hash_sets frame — pinned
+    by the scratch registration (relative to pre-test state) and by the
+    pair output still matching the exact oracle."""
+    from tbbid_scrapy_spark.operators import scratch
+
+    # empty the scratch registry first: its FIFO cap otherwise releases
+    # an older registered persist when minhash registers its sets, so an
+    # absolute persistent-RDD count could stay flat (suite ordering)
+    scratch.release()
+    sc_ = spark.sparkContext._jsc.sc()
+    before = sc_.getPersistentRDDs().size()
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(corpus, n=3, threshold=0.5).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            corpus, n=3, num_hashes=32, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert sc_.getPersistentRDDs().size() >= before + 1  # sets persisted
+    scratch.release()
+    recall = len(got & exact) / max(len(exact), 1)
+    assert recall >= 0.9, f"shared-sets minhash recall {recall}"
+    # exact-verified pairs are a subset of the exact qualifying pairs
+    assert got <= exact

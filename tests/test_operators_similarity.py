@@ -261,3 +261,43 @@ def test_embedding_dim_empty_and_allnull_frames(spark):
     sig = similarity._band_sigs_pd(4, 8, seed=42, dim=0)
     out = allnull.select(sig(F.col("embedding")).alias("sigs")).collect()
     assert out[0].sigs is None
+
+
+def test_cosine_zero_vector_is_null_not_crash(spark):
+    """An all-zero embedding must yield NULL cosine (filtered by any
+    threshold/top-k), not DIVIDE_BY_ZERO — under an ANSI-on session (the
+    driver harness runs one) a plain '/' kills the whole stage on one
+    bad row."""
+    from tbbid_scrapy_spark.operators.similarity import cosine
+
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = df.crossJoin(
+            df.select(F.col("embedding").alias("other"))
+        ).select(cosine(F.col("embedding"), F.col("other")).alias("cos")).collect()
+        vals = [r.cos for r in rows]
+        assert any(v is None for v in vals)          # zero-norm pairs → NULL
+        assert any(v is not None and abs(v - 1.0) < 1e-6 for v in vals)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_ivf_empty_cluster_keeps_centroid(spark):
+    """A Lloyd iteration in which a centroid attracts zero vectors must
+    not shrink the index below n_centroids: duplicate seed vectors tie
+    to the smaller cid, so the larger-cid twin empties — it keeps its
+    previous centroid instead of vanishing."""
+    from tbbid_scrapy_spark.operators.similarity import ivf_index
+
+    vecs = [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0], [0.7, 0.7]]  # rows 0,2 identical
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    centroids, assigned = ivf_index(df, n_centroids=4, iters=2)
+    assert centroids.count() == 4, "empty cluster dropped its centroid"
+    assert assigned.count() == 4
