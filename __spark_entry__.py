@@ -439,6 +439,21 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite [0,1] quality score (operators/text.quality_score) —
+    the stopword/punct/word-length heuristic as a standalone driver
+    oracle (previously oracle-checked only through corpus_filter's
+    gate, which exercises the threshold, not the score values).
+    Quantized ×1e4 → BIGINT per the cross-engine float rule."""
+    from tbbid_scrapy_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")) * 10000).cast("long").alias("q4"),
+    ).orderBy("doc_id")
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic vs the table's lang label: confusion counts."""
     from tbbid_scrapy_spark.operators.text import lang_id
@@ -908,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "text_stats": q_text_stats,
+        "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
         "ann_ivf": q_ann_ivf,
@@ -1319,6 +1335,34 @@ def _oracle_sql_literal() -> dict[str, str]:
                          * 1.0 / greatest(len(string_split({_NORM}, ' ')), 1), 6)
                        AS stopword_ratio
             FROM documents ORDER BY doc_id
+        """,
+        # quality_score recomputed from first principles (same fold order
+        # as the Spark HOF aggregate → bit-identical doubles; ×1e4 BIGINT
+        # quantization per the cross-engine float rule)
+        "quality_score": f"""
+            SELECT doc_id,
+                   CAST(round((
+                       least(stop_ratio * 2.0, 1.0) * 0.5
+                       + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3
+                       + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0
+                               THEN 1.0 ELSE 0.0 END) * 0.2
+                   ) * 10000) AS BIGINT) AS q4
+            FROM (
+                SELECT doc_id,
+                       len(list_filter(string_split({_NORM}, ' '),
+                                       w -> list_contains({_STOP_EN}, w)))
+                         * 1.0 / greatest(len(string_split({_NORM}, ' ')), 1)
+                         AS stop_ratio,
+                       (length(text) - length(regexp_replace(text,
+                            '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g'))) * 1.0
+                         / greatest(length(text), 1) AS punct_ratio,
+                       CASE WHEN len(string_split({_NORM}, ' ')) > 0
+                            THEN list_sum(list_transform(string_split({_NORM}, ' '),
+                                                         w -> length(w))) * 1.0
+                                 / len(string_split({_NORM}, ' '))
+                            ELSE 0.0 END AS mwl
+                FROM documents
+            ) ORDER BY doc_id
         """,
         "cosine_topk": """
             WITH q AS (
