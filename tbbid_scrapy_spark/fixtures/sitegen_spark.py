@@ -156,7 +156,11 @@ def build_site_df(
                      (F.col("pn") % 3 + 1).cast("int")),
         F.lit("级。项目负责人须一级建造师。</p></body></html>"),
     )
-    filler = F.transform(
+    # NOTE: guard the empty case — Spark's sequence(1, 0) generates a
+    # DESCENDING [1, 0] (implicit step -1), which would emit 2 filler
+    # spans when the caller asked for none. Resolved Python-side so no
+    # empty-array literal needs type coercion into the span struct.
+    filler = None if extra_text_spans <= 0 else F.transform(
         F.sequence(F.lit(1), F.lit(extra_text_spans)),
         lambda i: F.struct(
             F.lit("text").alias("kind"),
@@ -171,16 +175,23 @@ def build_site_df(
         F.lit("notice").alias("page_kind"),
         "host",
         F.concat(
-            F.array(
-                _span(F.lit("title"), F.col("title"), _null_s(), F.lit(0)),
-                _span(F.lit("text"), body, _null_s(), F.lit(0)),
-            ),
-            filler,
-            F.array(
-                _span(F.lit("media"), _null_s(),
-                      F.concat(F.lit("https://static.example.org/img_"), F.col("pid"), F.lit(".jpg")),
-                      F.lit(0))
-            ),
+            *[
+                a
+                for a in (
+                    F.array(
+                        _span(F.lit("title"), F.col("title"), _null_s(), F.lit(0)),
+                        _span(F.lit("text"), body, _null_s(), F.lit(0)),
+                    ),
+                    filler,
+                    F.array(
+                        _span(F.lit("media"), _null_s(),
+                              F.concat(F.lit("https://static.example.org/img_"),
+                                       F.col("pid"), F.lit(".jpg")),
+                              F.lit(0))
+                    ),
+                )
+                if a is not None
+            ]
         ).alias("spans"),
         F.lit(0).alias("fail_first"),
     ).withColumn(

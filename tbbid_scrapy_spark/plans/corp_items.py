@@ -62,12 +62,17 @@ def _cells(extracted: DataFrame, kind: str) -> DataFrame:
 
 def _label_value(cells: DataFrame, label: str, out: str) -> DataFrame:
     """Label-sibling extraction: value = the cell right after the label
-    cell (following-sibling::td[1] analog)."""
+    cell (following-sibling::td[1] analog). If a label cell appears more
+    than once on a page, the LAST occurrence wins (the pure-Python
+    twin's dict overwrite, ref_items._labels) — a plain join would
+    instead duplicate the base row per occurrence."""
     labels = cells.filter(F.col("text") == label).select(
         "doc_id", (F.col("pos") + 1).alias("pos")
     )
-    return labels.join(cells, ["doc_id", "pos"]).select(
-        "doc_id", F.col("text").alias(out)
+    return (
+        labels.join(cells, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.max_by(F.col("text"), F.col("pos")).alias(out))
     )
 
 
@@ -112,10 +117,20 @@ def corp_detail_items(extracted: DataFrame) -> DataFrame:
     others = (
         cells.filter(F.col("text").startswith("其他："))
         .groupBy("doc_id")
-        .agg(F.min(F.trim(F.substring(F.col("text"), 4, 10**6))).alias("others"))
+        # FIRST 其他： cell in page order, like the twin's next(...) —
+        # a plain min() would pick the lexicographic minimum instead
+        .agg(F.min_by(
+            F.trim(F.substring(F.col("text"), 4, 10**6)), F.col("pos")
+        ).alias("others"))
     )
     return (
         base.join(quals, "doc_id", "left")
+        # no keyword-matching qual cell (or none at all) is an EMPTY
+        # list, not NULL — the twin computes sorted(set()) == []
+        .withColumn(
+            "qualifications",
+            F.coalesce(F.col("qualifications"), F.array().cast("array<string>")),
+        )
         .join(others, "doc_id", "left")
         .drop("doc_id")
     )
@@ -136,8 +151,15 @@ def _emp_spans(extracted: DataFrame) -> DataFrame:
 
 
 def employee_rows(extracted: DataFrame) -> DataFrame:
-    """One row per employee from the 7-span stride (td1..td7)."""
+    """One row per employee from the 7-span stride (td1..td7). Only
+    COMPLETE 7-span groups produce rows — the twin iterates
+    range(len(rows_spans) // 7), so a trailing fragment on a truncated
+    page must not emit a phantom employee with NULL cert/role/major."""
     spans = _emp_spans(extracted)
+    n_spans = F.count("*").over(Window.partitionBy("doc_id"))
+    spans = spans.withColumn("_n", n_spans).filter(
+        F.col("pos") < (F.col("_n") / 7).cast("int") * 7
+    )
     rows = (
         spans.withColumn("row", (F.col("pos") / 7).cast("int"))
         .withColumn("slot", F.pmod(F.col("pos"), F.lit(7)))
@@ -158,7 +180,9 @@ def employee_rows(extracted: DataFrame) -> DataFrame:
         "cert_code",
         "role",
         "valid_date",
-        F.split(F.trim("major_raw"), "、").alias("major"),
+        # null-safe like the twin's (text or '').strip().split('、'):
+        # a NULL major cell yields [''], not NULL
+        F.split(F.trim(F.coalesce(F.col("major_raw"), F.lit(""))), "、").alias("major"),
         F.regexp_extract("person_url", r"id=([^&#]+)", 1).alias("person_id"),
     )
 
@@ -246,7 +270,14 @@ def extract_corp_items(extracted: DataFrame) -> dict[str, DataFrame]:
     """All corp-chain item families, joined into sink-ready frames."""
     search = corp_search_items(extracted)
     detail = corp_detail_items(extracted)
-    company = search.join(detail, "corp_code", "left").select(
+    # ONE row per corp_code like the twin's dict (two search pages
+    # resolving to the same code must not duplicate the company nor fan
+    # out every matching performance row); max_by(search_url) is the
+    # deterministic pick where the twin's dict order is ambient.
+    search_one = search.groupBy("corp_code").agg(
+        F.max_by("name", "search_url").alias("name")
+    )
+    company = search_one.join(detail, "corp_code", "left").select(
         "corp_code", "name", "corp", "corp_asset", "reg_address",
         "valid_date", "qualifications", "others",
     )
@@ -281,8 +312,11 @@ def extract_corp_items(extracted: DataFrame) -> dict[str, DataFrame]:
             emp.select("person_id", "name", "role", "corp_code"), "person_id"
         )
         .join(
-            search.select(F.col("corp_code"), F.col("name").alias("corp_name")),
+            # LEFT: a corp whose search page is absent still emits its
+            # performance rows with corp_name NULL (twin: searches.get)
+            search_one.select(F.col("corp_code"), F.col("name").alias("corp_name")),
             "corp_code",
+            "left",
         )
         .select(
             "name", "corp_code", "corp_name", "project_name",

@@ -60,12 +60,16 @@ def _scratch_local_dir() -> str | None:
         return None
 
 
-def _sweep_stale_scratch(root: str, max_age_sec: int = 24 * 3600) -> None:
+def _sweep_stale_scratch(root: str, max_age_sec: int = 24 * 3600,
+                         pid_hard_cap_sec: int = 7 * 24 * 3600) -> None:
     """Best-effort reclamation of scratch left by killed JVMs (Spark
     deletes its blockmgr-*/spark-* dirs via shutdown hook, which SIGKILL
     skips — on tmpfs a leak is RAM). A `pid<N>` entry is removed iff
-    process N is gone; anything else (legacy layouts) only after
-    max_age_sec. Never touches a live process's directory."""
+    process N is gone OR the dir predates process N's start (the PID was
+    recycled by an unrelated process — without the start-time check a
+    recycled PID would pin the dead session's tmpfs forever), with a
+    7-day hard cap as the backstop; anything else (legacy layouts) only
+    after max_age_sec. Never touches a live owner's directory."""
     import shutil
     import time
 
@@ -78,10 +82,22 @@ def _sweep_stale_scratch(root: str, max_age_sec: int = 24 * 3600) -> None:
         p = os.path.join(root, name)
         try:
             if name.startswith("pid") and name[3:].isdigit():
-                if name != f"pid{os.getpid()}" and not os.path.exists(
-                    f"/proc/{name[3:]}"
-                ):
-                    shutil.rmtree(p, ignore_errors=True)
+                if name == f"pid{os.getpid()}":
+                    continue
+                proc = f"/proc/{name[3:]}"
+                alive = os.path.exists(proc)
+                if alive:
+                    try:
+                        # /proc/<pid> st_mtime ≈ process start; the true
+                        # owner created the dir AFTER it started, so a
+                        # process younger than the dir cannot own it
+                        recycled = os.stat(proc).st_mtime > os.path.getmtime(p)
+                    except OSError:
+                        recycled = False
+                    stale_anyway = now - os.path.getmtime(p) > pid_hard_cap_sec
+                    if not (recycled or stale_anyway):
+                        continue
+                shutil.rmtree(p, ignore_errors=True)
             elif now - os.path.getmtime(p) > max_age_sec:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:

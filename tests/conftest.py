@@ -3,9 +3,9 @@
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import types as T
 
 from tbbid_scrapy_spark import schemas
+from tbbid_scrapy_spark.fixtures.sitegen_spark import SITE_SCHEMA
 from tbbid_scrapy_spark.fixtures import sitegen
 from tbbid_scrapy_spark.session import get_spark
 
@@ -24,10 +24,8 @@ def site():
     return sitegen.build_site(n_listing_pages=3, projects_per_listing=4, seed=42)
 
 
-# StructType.add mutates in place — build a copy
-SITE_SCHEMA = T.StructType(
-    list(schemas.DOCUMENTS.fields) + [T.StructField("fail_first", T.IntegerType(), False)]
-)
+# SITE_SCHEMA (DOCUMENTS+fail_first) is imported from fixtures.sitegen_spark
+# above — single source of truth for the fixture schema.
 
 
 @pytest.fixture(scope="session")

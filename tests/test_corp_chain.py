@@ -157,3 +157,64 @@ def test_company_employee_upserts(spark, corp_items):
     assert p1.count() == perf_in.dropDuplicates(
         ["name", "corp_code", "project_name", "role"]
     ).count()
+
+
+def test_corp_edge_shapes_match_twin(spark):
+    """Engine == twin on the latent page shapes the fixtures never emit:
+    duplicate label cells (LAST wins), 资质条目 cells with no keyword
+    (→ empty list, not NULL), duplicate 其他： (FIRST by offset), a
+    trailing partial 7-span employee group (dropped), and a NULL major
+    cell (→ [''])."""
+    from tbbid_scrapy_spark.fixtures import ref_items
+    from tbbid_scrapy_spark.plans.corp_items import extract_corp_items
+    from tbbid_scrapy_spark.plans.crawl import EXTRACTED_SCHEMA
+
+    search_url = "https://corp.example.org/corp/search?name=%E7%94%B2"
+    detail_url = "https://corp.example.org/corp/detail?corpcode=C9"
+    emp_url = "https://corp.example.org/corp/emps?corpcode=C9"
+    site = {
+        search_url: [
+            ("table_cell", "甲公司", None, 0), ("table_cell", "x", None, 1),
+            ("table_cell", "y", None, 2), ("table_cell", "C9", None, 3),
+        ],
+        detail_url: [
+            ("table_cell", "法人姓名", None, 0), ("table_cell", "张三", None, 1),
+            ("table_cell", "法人姓名", None, 2), ("table_cell", "李四", None, 3),
+            ("table_cell", "其他：乙备注", None, 4),
+            ("table_cell", "其他：甲备注", None, 5),
+            ("table_cell", "资质条目：劳务分包资质", None, 6),
+        ],
+        emp_url: [
+            ("table_cell", "1", None, 0),
+            ("link", "王五", "https://corp.example.org/persondetail?id=P9", 1),
+            ("table_cell", "K1", None, 2),
+            ("table_cell", "一级建造师", None, 3),
+            ("table_cell", "x", None, 4),
+            ("table_cell", "2030-01-01", None, 5),
+            ("table_cell", None, None, 6),        # NULL major cell
+            ("table_cell", "2", None, 7),          # trailing fragment…
+            ("link", "赵六", "https://corp.example.org/persondetail?id=P10", 8),
+        ],
+    }
+    expected = ref_items.expected_corp_items(site)
+    rows = [
+        (url, k, t, m, o, 0)
+        for url, spans in site.items()
+        for (k, t, m, o) in spans
+    ]
+    ex = spark.createDataFrame(rows, EXTRACTED_SCHEMA)
+    items = extract_corp_items(ex)
+
+    comp = items["company"].collect()
+    assert len(comp) == len(expected["company"]) == 1
+    got, want = comp[0].asDict(), expected["company"][0]
+    assert got["corp"] == want["corp"] == "李四"                # last label wins
+    assert got["others"] == want["others"] == "乙备注"          # first by offset
+    assert list(got["qualifications"]) == want["qualifications"] == []
+
+    emp = items["employee"].collect()
+    assert len(emp) == len(expected["employee"]) == 1           # fragment dropped
+    g, w = emp[0].asDict(), expected["employee"][0]
+    for k in ("corp_code", "name", "cert_code", "role", "valid_date", "person_id"):
+        assert g[k] == w[k], k
+    assert list(g["major"]) == w["major"] == [""]               # null-safe split

@@ -69,3 +69,36 @@ def test_sweep_ages_out_only_non_pid_entries(tmp_path):
 
 def test_sweep_survives_missing_dir():
     session._sweep_stale_scratch("/nonexistent/path/xyz")  # no raise
+
+
+def test_sweep_reclaims_recycled_pid_dirs(tmp_path):
+    """A pid<N> dir whose mtime PREDATES process N's start belongs to a
+    dead session whose PID was recycled — it must be reclaimed (without
+    the start-time check it would pin tmpfs RAM for as long as the
+    unrelated process lives). PID 1 is always alive; an epoch-1970 dir
+    mtime is guaranteed older than any boot."""
+    recycled = tmp_path / "pid1"
+    recycled.mkdir()
+    os.utime(recycled, (1000.0, 1000.0))
+    session._sweep_stale_scratch(str(tmp_path))
+    assert not recycled.exists()
+
+
+def test_sweep_keeps_live_owner_pid_dir_fresh_mtime(tmp_path):
+    """A pid dir younger than its (live) process is plausibly owned by
+    it and must be kept — even for a foreign live PID."""
+    owned = tmp_path / "pid1"
+    owned.mkdir()  # fresh mtime: now > /proc/1 start
+    session._sweep_stale_scratch(str(tmp_path))
+    assert owned.exists()
+
+
+def test_sweep_hard_caps_foreign_pid_dirs(tmp_path):
+    """Backstop: a foreign live-PID dir older than the 7-day hard cap is
+    reclaimed even when the start-time heuristic is inconclusive."""
+    ancient = tmp_path / "pid1"
+    ancient.mkdir()
+    old = time.time() - 8 * 24 * 3600
+    os.utime(ancient, (old, old))
+    session._sweep_stale_scratch(str(tmp_path))
+    assert not ancient.exists()

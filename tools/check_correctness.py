@@ -85,6 +85,12 @@ def main() -> None:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = sorted(set(only or []) - set(qs))
+    if unknown:
+        # a typo'd name must NOT exit green having checked nothing
+        print(f"FAIL unknown query name(s): {unknown} (known: {sorted(qs)[:5]}…)")
+        spark.stop()
+        sys.exit(2)
     n_bad = 0
     for name, fn in qs.items():
         if only and name not in only:
