@@ -99,32 +99,49 @@ def decode_media(df: DataFrame, backend: str = "fake") -> DataFrame:
         )
 
     # the batch kernel is numpy-vectorized end to end — the shape a real
-    # decoder swap-in must follow: per-row Python touches only the fixed
-    # 16-byte header slice (O(rows×16) memcpy into ONE contiguous
-    # buffer); ALL parsing/validation runs as whole-batch numpy ops.
+    # decoder swap-in must follow: the whole binary column is rebuilt as
+    # ONE contiguous Arrow buffer (pa.array — a single memcpy; in a real
+    # Arrow-native flow the column already arrives contiguous and even
+    # that copy disappears), headers are gathered by fancy-indexing the
+    # byte buffer at the offsets, and ALL parsing/validation runs as
+    # whole-batch numpy ops — zero per-row Python, not even a slice.
     # The 16-byte header is 4 big-endian u32s: magic | width | height |
     # duration_ms.
+    import pyarrow as pa
+
     magic_u32 = int.from_bytes(MAGIC, "big")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             content = pdf["content"]
             n = len(content)
-            lens = np.fromiter(
-                (len(b) if b is not None else -1 for b in content),
-                dtype=np.int64, count=n,
-            )
+            # large_binary: 64-bit offsets — a batch can't overflow the
+            # offsets buffer no matter how big its payload total is
+            arr = pa.array(content, type=pa.large_binary())
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+            lens = offs[1:] - offs[:-1]
+            if arr.null_count:
+                nulls = arr.is_null().to_numpy(zero_copy_only=False)
+                lens = np.where(nulls, -1, lens)
             has_hdr = lens >= 16
             widths = np.full(n, np.nan)
             heights = np.full(n, np.nan)
             durs = np.full(n, np.nan)
             payloads = np.full(n, np.nan)
             if has_hdr.any():
-                prefixes = b"".join(
-                    bytes(b[:16]) for b in content[has_hdr]
-                )
-                quads = np.frombuffer(prefixes, dtype=">u4").reshape(-1, 4)
-                good = quads[:, 0] == magic_u32
+                data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+                starts = offs[:-1][has_hdr]
+                hdr = data[starts[:, None] + np.arange(16)]
+                quads = np.ascontiguousarray(hdr).view(">u4").reshape(-1, 4)
+                # validity = magic match AND every u32 field representable
+                # in the Int32 output columns: one corrupt/adversarial
+                # header with width/height/duration ≥ 2^31 must decode as
+                # NULL metadata, not raise inside the pandas cast and
+                # kill the whole Arrow batch (same one-bad-row-kills-the-
+                # stage class _band_sigs_pd hardens against)
+                good = (quads[:, 0] == magic_u32) & (
+                    quads[:, 1:] <= np.iinfo(np.int32).max
+                ).all(axis=1)
                 ok = np.zeros(n, dtype=bool)
                 ok[has_hdr] = good
                 widths[ok] = quads[good, 1]

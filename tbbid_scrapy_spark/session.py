@@ -60,16 +60,20 @@ def _scratch_local_dir() -> str | None:
         return None
 
 
-def _sweep_stale_scratch(root: str, max_age_sec: int = 24 * 3600,
-                         pid_hard_cap_sec: int = 7 * 24 * 3600) -> None:
+def _sweep_stale_scratch(root: str, max_age_sec: int = 24 * 3600) -> None:
     """Best-effort reclamation of scratch left by killed JVMs (Spark
     deletes its blockmgr-*/spark-* dirs via shutdown hook, which SIGKILL
     skips — on tmpfs a leak is RAM). A `pid<N>` entry is removed iff
     process N is gone OR the dir predates process N's start (the PID was
     recycled by an unrelated process — without the start-time check a
-    recycled PID would pin the dead session's tmpfs forever), with a
-    7-day hard cap as the backstop; anything else (legacy layouts) only
-    after max_age_sec. Never touches a live owner's directory."""
+    recycled PID would pin the dead session's tmpfs forever); anything
+    else (legacy layouts) only after max_age_sec. Never touches a live
+    owner's directory: there is deliberately NO age-based hard cap on
+    pid dirs — the top-level mtime is set at creation and Spark only
+    writes inside blockmgr-* subdirs, so a long-running session (the
+    streaming crawl is designed to run for weeks) has a permanently
+    stale top-level mtime, and an age cap would rmtree its live
+    shuffle/spill dirs out from under it mid-job."""
     import shutil
     import time
 
@@ -94,8 +98,7 @@ def _sweep_stale_scratch(root: str, max_age_sec: int = 24 * 3600,
                         recycled = os.stat(proc).st_mtime > os.path.getmtime(p)
                     except OSError:
                         recycled = False
-                    stale_anyway = now - os.path.getmtime(p) > pid_hard_cap_sec
-                    if not (recycled or stale_anyway):
+                    if not recycled:
                         continue
                 shutil.rmtree(p, ignore_errors=True)
             elif now - os.path.getmtime(p) > max_age_sec:

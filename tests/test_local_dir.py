@@ -93,12 +93,33 @@ def test_sweep_keeps_live_owner_pid_dir_fresh_mtime(tmp_path):
     assert owned.exists()
 
 
-def test_sweep_hard_caps_foreign_pid_dirs(tmp_path):
-    """Backstop: a foreign live-PID dir older than the 7-day hard cap is
-    reclaimed even when the start-time heuristic is inconclusive."""
-    ancient = tmp_path / "pid1"
-    ancient.mkdir()
-    old = time.time() - 8 * 24 * 3600
-    os.utime(ancient, (old, old))
+def test_sweep_never_age_caps_live_owner_pid_dirs(monkeypatch, tmp_path):
+    """A live owner's pid dir is kept at ANY age: the top-level mtime is
+    set at creation and Spark only writes inside blockmgr-* subdirs, so
+    a >7-day streaming session's top-level mtime is permanently stale —
+    the old 7-day hard cap would have rmtree'd its live shuffle/spill
+    dirs mid-job (r4 ADVICE item). Simulated: a pid1 dir whose mtime is
+    30 days old but still AFTER /proc/1's (faked, older) start time."""
+    owned = tmp_path / "pid1"
+    owned.mkdir()
+    fake_dir_mtime = time.time() - 30 * 24 * 3600
+    real_getmtime = os.path.getmtime
+    monkeypatch.setattr(
+        session.os.path,
+        "getmtime",
+        lambda p: fake_dir_mtime if p == str(owned) else real_getmtime(p),
+    )
+
+    class _StartedBeforeDir:
+        st_mtime = fake_dir_mtime - 3600.0
+
+    real_stat = os.stat
+    monkeypatch.setattr(
+        session.os,
+        "stat",
+        lambda p, *a, **k: _StartedBeforeDir
+        if p == "/proc/1"
+        else real_stat(p, *a, **k),
+    )
     session._sweep_stale_scratch(str(tmp_path))
-    assert not ancient.exists()
+    assert owned.exists()
