@@ -72,6 +72,27 @@ class BloomSpec:
     def total_bytes(self) -> int:
         return self.n_shards * self.bits_per_shard // 8
 
+    def format_tag(self) -> str:
+        """Identity of the on-disk bitset format: probe-derivation scheme
+        plus every geometry parameter that decides which bits a key sets.
+        Stamped into the checkpoint manifest at commit; a resume whose
+        current tag differs (code changed the probe math, or the config
+        changed shard count / size / k) must NOT reuse the persisted
+        bitsets — they would return silent false negatives (seen URLs
+        re-enqueued and refetched). The crawl engine rebuilds shards from
+        the seen table on mismatch."""
+        return (
+            f"bloom:{PROBE_FORMAT}:shards={self.n_shards}"
+            f":bits={self.bits_per_shard}:k={self.n_probes}"
+        )
+
+
+# Version of the probe-derivation math below (_splitmix64 remix + lo/hi
+# Kirsch-Mitzenmacher stepping). BUMP THIS whenever _positions would set
+# different bits for the same (hash, spec) — persisted bitsets written
+# under another version are unusable (false negatives, not errors).
+PROBE_FORMAT = "splitmix64-km-v2"
+
 
 def _splitmix64(h: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer (the standard public-domain avalanche

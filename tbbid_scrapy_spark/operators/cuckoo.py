@@ -69,6 +69,18 @@ class CuckooSpec:
         """≈ 2·SLOTS / 2^16 at full load (fingerprints are 16-bit)."""
         return 2.0 * SLOTS / 65536.0
 
+    def format_tag(self) -> str:
+        """Identity of the on-disk cuckoo-table format (see
+        BloomSpec.format_tag): fingerprint/bucket derivation version plus
+        the geometry that decides slot placement. A resume under a
+        different tag rebuilds shards from the seen table instead of
+        reusing tables whose fingerprints no longer match lookups."""
+        return (
+            f"cuckoo:{bloom.PROBE_FORMAT}:mix={int(_MIX):x}"
+            f":shards={self.n_shards}:buckets={self.buckets_per_shard}"
+            f":slots={SLOTS}:fp=16"
+        )
+
 
 SHARDS_SCHEMA = T.StructType(
     [

@@ -374,6 +374,38 @@ class CrawlEngine:
 
     # -- checkpoint / resume ------------------------------------------------
 
+    def _seen_format(self) -> str | None:
+        """Format tag of the approximate seen structure under the current
+        config (None for exact mode). Stamped into every manifest; at
+        resume a mismatch — probe-math version bump OR spec-geometry
+        change OR a pre-stamp manifest — means the persisted bitsets would
+        return silent false negatives, so the shards are rebuilt from the
+        seen table instead of read back."""
+        if self.config.seen_mode in ("bloom", "hybrid"):
+            return self.config.bloom_spec.format_tag()
+        if self.config.seen_mode == "cuckoo":
+            return self.config.cuckoo_spec.format_tag()
+        return None
+
+    def _rebuild_shards(self, seen: DataFrame) -> DataFrame:
+        """Reconstruct the approximate seen structure from the exact seen
+        table (the format-independent source of truth): every committed
+        url_hash is re-inserted into fresh shards under the CURRENT
+        format. O(|seen|) once at resume; the next commit persists the
+        rebuilt shards under the new tag."""
+        spark = self.spark
+        if self.config.seen_mode == "cuckoo":
+            return cuckoo_insert(
+                seen.select("url_hash"),
+                empty_cuckoo_shards(spark, self.config.cuckoo_spec),
+                self.config.cuckoo_spec,
+            )
+        return bloom_insert(
+            seen.select("url_hash"),
+            empty_shards(spark, self.config.bloom_spec),
+            self.config.bloom_spec,
+        )
+
     def _delta_parts(self, st: CrawlState) -> dict[str, list[DataFrame]]:
         return {
             "done": st.done_parts,
@@ -438,6 +470,7 @@ class CrawlEngine:
                     "wave": st.wave,
                     "next_seq": st.next_seq,
                     "pending_est": st.pending_est,
+                    "seen_format": self._seen_format(),
                     "snapshots": snaps,
                     "deltas": deltas,
                 }
@@ -501,15 +534,30 @@ class CrawlEngine:
         parts = {
             name: [self._deltas[name].read(deltas[name])] for name in _DELTA_TABLES
         }
+        want = self._seen_format()
+        if want is None:
+            shards = None
+        elif manifest.get("seen_format") == want and "shards" in snaps:
+            shards = self._snapshots["shards"].read_version(snaps["shards"])
+        else:
+            # probe-math version bump, spec-geometry change, seen_mode
+            # change, or a manifest written before tags existed: the
+            # persisted bitsets would silently drop membership (seen URLs
+            # re-enqueued/refetched) — rebuild from the exact seen table.
+            import sys
+
+            print(
+                "[crawl] seen-structure format mismatch at resume "
+                f"(manifest={manifest.get('seen_format')!r}, current={want!r})"
+                " — rebuilding shards from the seen table",
+                file=sys.stderr,
+            )
+            shards = self._rebuild_shards(parts["seen"][0])
         return CrawlState(
             pending=self._snapshots["pending"].read_version(snaps["pending"]),
             done_parts=parts["done"],
             seen_parts=parts["seen"],
-            shards=(
-                self._snapshots["shards"].read_version(snaps["shards"])
-                if "shards" in snaps
-                else None
-            ),
+            shards=shards,
             fetch_log_parts=parts["fetch_log"],
             extracted_parts=parts["extracted"],
             metrics_parts=parts["metrics"],

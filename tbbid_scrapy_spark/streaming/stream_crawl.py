@@ -167,20 +167,24 @@ def stream_frontier_foreachBatch(
     from tbbid_scrapy_spark.functions.urls import with_url_norm
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         s = batch_df.sparkSession
         norm = with_url_norm(batch_df).dropDuplicates(["url_hash"])
-        try:
+        # First-batch bootstrap: probe the seen table's EXISTENCE directly
+        # (Hadoop FileSystem — works for file://, hdfs://, s3a:// alike)
+        # instead of substring-matching AnalysisException messages, whose
+        # wording varies across Spark versions/locales. Only a confirmed
+        # missing table may disable dedup; ANY read failure on an existing
+        # table propagates so the batch retries — swallowing it would
+        # re-enqueue every already-crawled URL in the batch (re-crawl
+        # storm). No writer race: the seen table is appended only by this
+        # query's own sequential batches.
+        jvm = s._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(seen_table_path)
+        fs = hpath.getFileSystem(s._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
             seen = s.read.parquet(seen_table_path)
             novel = norm.join(seen.select("url_hash"), "url_hash", "left_anti")
-        except AnalysisException as e:
-            # ONLY the expected first-batch case (no seen table yet) may
-            # disable dedup; a transient read failure must propagate so
-            # the batch retries — swallowing it would re-enqueue every
-            # already-crawled URL in the batch (re-crawl storm).
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
+        else:
             novel = norm
         # Pin `novel` before writing: the two appends must see the SAME
         # snapshot (the second action would otherwise re-read a seen table

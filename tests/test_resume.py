@@ -45,6 +45,86 @@ def test_resume_equals_uninterrupted(spark, site_df, politeness_df, robots_df, t
     assert f_res == f_full
 
 
+def test_resume_rebuilds_shards_on_seen_format_mismatch(
+    spark, site_df, politeness_df, robots_df, tmp_path
+):
+    """A checkpoint whose manifest carries a DIFFERENT seen-structure
+    format tag (probe-math version bump, spec change, or a pre-stamp
+    manifest with no tag at all) must NOT reuse the persisted bitsets —
+    they'd return silent false negatives (seen URLs refetched). The
+    engine rebuilds shards from the exact seen table; the resumed run
+    must still equal the uninterrupted one bit for bit."""
+    import json
+    import os
+
+    from tbbid_scrapy_spark.operators.bloom import BloomSpec
+
+    seeds = sitegen.default_seeds()
+    spec = BloomSpec.for_capacity(expected_n=10_000, fp_rate=1e-6, n_shards=8)
+
+    full = CrawlEngine(
+        spark, site_df, seeds, politeness_df, robots_df,
+        CrawlConfig(max_waves=50, seen_mode="bloom", bloom_spec=spec),
+    ).run()
+
+    ck = str(tmp_path / "ck")
+    CrawlEngine(
+        spark, site_df, seeds, politeness_df, robots_df,
+        CrawlConfig(max_waves=3, checkpoint_dir=ck, seen_mode="bloom",
+                    bloom_spec=spec),
+    ).run()
+
+    # simulate a checkpoint written by pre-stamp code: drop the tag
+    mpath = os.path.join(ck, "_MANIFEST")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    assert manifest["seen_format"] == spec.format_tag()  # stamped at commit
+    del manifest["seen_format"]
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+
+    resumed = CrawlEngine(
+        spark, site_df, seeds, politeness_df, robots_df,
+        CrawlConfig(max_waves=50, checkpoint_dir=ck, seen_mode="bloom",
+                    bloom_spec=spec),
+    ).run(resume=True)
+
+    assert _order(resumed) == _order(full)
+    assert (
+        {r.url_norm for r in resumed.seen.collect()}
+        == {r.url_norm for r in full.seen.collect()}
+    )
+
+
+def test_resume_reuses_shards_on_matching_format(
+    spark, site_df, politeness_df, robots_df, tmp_path
+):
+    """Same-format resume takes the fast path: shards read back from the
+    snapshot version, not rebuilt (rebuild is O(|seen|) — fine once,
+    wrong as a tax on every clean resume)."""
+    from tbbid_scrapy_spark.operators.bloom import BloomSpec
+
+    seeds = sitegen.default_seeds()
+    spec = BloomSpec.for_capacity(expected_n=10_000, fp_rate=1e-6, n_shards=8)
+    ck = str(tmp_path / "ck")
+    CrawlEngine(
+        spark, site_df, seeds, politeness_df, robots_df,
+        CrawlConfig(max_waves=3, checkpoint_dir=ck, seen_mode="bloom",
+                    bloom_spec=spec),
+    ).run()
+    eng = CrawlEngine(
+        spark, site_df, seeds, politeness_df, robots_df,
+        CrawlConfig(max_waves=3, checkpoint_dir=ck, seen_mode="bloom",
+                    bloom_spec=spec),
+    )
+    calls = []
+    orig = eng._rebuild_shards
+    eng._rebuild_shards = lambda seen: calls.append(1) or orig(seen)
+    st = eng.resume()
+    assert calls == []  # matching tag → no rebuild
+    assert st.shards is not None and st.shards.count() == spec.n_shards
+
+
 def test_snapshot_table_atomicity(spark, tmp_path):
     from tbbid_scrapy_spark.sources.sink import SnapshotTable
 
