@@ -362,6 +362,68 @@ def q_counter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.orderBy("o_custkey")
 
 
+def q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6+C3+C4 under the rows+schema+hash gate: single-wave frontier
+    selection — robots longest-prefix filter (apply_robots_joined) then
+    per-host politeness rank + budget cut (politeness_rank, the two-phase
+    salted path) over a static pending table derived deterministically
+    from `orders`. The oracle is the equivalent DuckDB window query, so
+    any divergence in robots precedence, budget arithmetic, or the salted
+    rank's claimed equivalence to the naive window breaks the row match.
+
+    Pending-table derivation (mirrored verbatim in the oracle):
+      host      = h(o_custkey mod 97).example.org
+      path      = /admin/public/… (key%11==0) | /admin/x/… (key%7==0)
+                  | /cat/…
+      priority  = o_orderkey mod 5 ; wave = mod 3 ; seq = o_orderkey
+    Robots: every host allows '/', disallows '/admin'; EVEN hosts add a
+    longer '/admin/public' allow rule — longest-prefix-wins decides.
+    Budgets: 3 + host mod 4 per wave. seq is unique, so the rank order
+    (priority desc, wave, seq) is total and the url_hash tiebreak never
+    fires — cross-engine determinism without hashing parity.
+    (Reference scheduler semantics: settings.py:23-30.)"""
+    from tbbid_scrapy_spark.operators.frontier import (
+        apply_robots_joined,
+        politeness_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    hostn = F.pmod(F.col("o_custkey"), F.lit(97))
+    key = F.col("o_orderkey")
+    path = (
+        F.when(F.pmod(key, F.lit(11)) == 0,
+               F.concat(F.lit("/admin/public/"), key.cast("string")))
+        .when(F.pmod(key, F.lit(7)) == 0,
+              F.concat(F.lit("/admin/x/"), key.cast("string")))
+        .otherwise(F.concat(F.lit("/cat/"), key.cast("string")))
+    )
+    host = F.format_string("h%d.example.org", hostn)
+    pending = o.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url_norm"),
+        F.pmod(key, F.lit(5)).alias("priority"),
+        F.pmod(key, F.lit(3)).alias("wave"),
+        key.alias("seq"),
+        key.alias("url_hash"),  # salting/tiebreak column; never decisive
+    )
+    robots = spark.createDataFrame(
+        [(f"h{i}.example.org", "/", True) for i in range(97)]
+        + [(f"h{i}.example.org", "/admin", False) for i in range(97)]
+        + [(f"h{i}.example.org", "/admin/public", True) for i in range(0, 97, 2)],
+        "host string, path_prefix string, allow boolean",
+    )
+    politeness = spark.createDataFrame(
+        [(f"h{i}.example.org", 3 + i % 4) for i in range(97)],
+        "host string, budget_per_wave int",
+    )
+    allowed = apply_robots_joined(pending, robots)
+    selected = politeness_rank(allowed, politeness, default_budget=4,
+                               salt_buckets=8)
+    return selected.select("host", "seq", "priority", "url_norm").orderBy(
+        "host", "seq"
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators
 # ---------------------------------------------------------------------------
@@ -918,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination_urls": q_pagination_urls,
         "merge_upsert": q_merge_upsert,
         "counter_merge": q_counter_merge,
+        "frontier_rank": q_frontier_rank,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1282,6 +1345,45 @@ def _oracle_sql_literal() -> dict[str, str]:
                    coalesce(t.bid_count, 0) + coalesce(i.bid_count, 0) AS bid_count
             FROM target t FULL OUTER JOIN incoming i USING (o_custkey)
             ORDER BY o_custkey
+        """,
+        # naive-window equivalent of q_frontier_rank: the robots decision
+        # is expanded to the known rule constants (longest-prefix-wins:
+        # '/admin/public' allow beats '/admin' disallow on even hosts),
+        # the politeness cut is one row_number window per host. The
+        # engine's salted two-phase rank + broadcast-rules probe must
+        # produce exactly these rows.
+        "frontier_rank": """
+            WITH pending AS (
+                SELECT 'h' || CAST(o_custkey % 97 AS VARCHAR)
+                           || '.example.org' AS host,
+                       o_custkey % 97 AS hostn,
+                       o_orderkey % 5 AS priority,
+                       o_orderkey % 3 AS wave,
+                       o_orderkey AS seq,
+                       CASE WHEN o_orderkey % 11 = 0
+                                THEN '/admin/public/' || CAST(o_orderkey AS VARCHAR)
+                            WHEN o_orderkey % 7 = 0
+                                THEN '/admin/x/' || CAST(o_orderkey AS VARCHAR)
+                            ELSE '/cat/' || CAST(o_orderkey AS VARCHAR)
+                       END AS path
+                FROM orders
+            ), allowed AS (
+                SELECT * FROM pending
+                WHERE CASE
+                    WHEN path LIKE '/admin/public%' THEN hostn % 2 = 0
+                    WHEN path LIKE '/admin%' THEN FALSE
+                    ELSE TRUE END
+            ), ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY host
+                                          ORDER BY priority DESC, wave, seq) AS rk,
+                       3 + hostn % 4 AS budget
+                FROM allowed
+            )
+            SELECT host, seq, priority,
+                   'https://' || host || path AS url_norm
+            FROM ranked WHERE rk <= budget
+            ORDER BY host, seq
         """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count

@@ -28,6 +28,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# tiny-SF pass that runs each HEADLINE query once BEFORE the timed loop:
+# whole-stage codegen is compiled per operator family, and without this
+# the first shingle-heavy query paid the JIT knee inside its recorded
+# time (r4 driver artifact: ngram_jaccard 18.7 s recorded vs 2.7 s warm
+# on the same box) — contradicting the stated "cold cache inside a WARM
+# JVM" contract. sf0.001 keeps the warmup ~seconds.
+WARMUP_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.001"
+)
 
 HEADLINE = [
     "pricing_summary",
@@ -246,13 +255,40 @@ def main() -> None:
     print(f"# frontier: {frontier}", file=sys.stderr)
     spark.catalog.clearCache()
 
+    # warm the codegen knee out of the recording: one tiny-SF execution
+    # per headline query compiles every operator family's generated code
+    # before anything is timed (see WARMUP_SF_DIR note). Released/cleared
+    # after, so the timed loop still starts cold-cache.
+    if os.path.isdir(WARMUP_SF_DIR):
+        t0 = time.monotonic()
+        for name in HEADLINE:
+            try:
+                queries[name](spark, WARMUP_SF_DIR).count()
+            except Exception as e:
+                print(f"# warmup {name} failed: {e}", file=sys.stderr)
+            scratch.release()
+        spark.catalog.clearCache()
+        print(
+            f"# warmup: {len(HEADLINE)} queries at {WARMUP_SF_DIR} in "
+            f"{round(time.monotonic() - t0, 1)}s",
+            file=sys.stderr,
+        )
+    else:
+        print(f"# warmup skipped: {WARMUP_SF_DIR} missing", file=sys.stderr)
+
     timings: dict[str, float] = {}
+    # loadavg evidence for the headline section itself (r4 recorded a
+    # loaded-epoch artifact with per-frontier/per-pair loadavgs only):
+    # [start, end] 1-min loadavg plus the max seen between queries.
+    headline_la = [round(os.getloadavg()[0], 1)]
+    la_max = headline_la[0]
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.monotonic()
         df = fn(spark, SF_DIR)
         n = df.count()  # materialize fully
         timings[name] = round(time.monotonic() - t0, 3)
+        la_max = max(la_max, os.getloadavg()[0])
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
         # several operators persist scratch frames (shingle sets, corpus
         # survivors, LSH signatures) — drop them between queries so one
@@ -261,14 +297,23 @@ def main() -> None:
         # run-to-run before this). scratch.release() drops exactly the
         # operator-registered handles; clearCache sweeps anything else.
         # CONTRACT: every recorded per-query time is therefore a
-        # COLD-CACHE number inside a warm JVM — the reproducible
-        # configuration the driver records. Standalone cold-JVM runs of
+        # COLD-CACHE number inside a warm JVM — warm including each
+        # operator family's generated code, since the tiny-SF warmup
+        # loop above already compiled it (before r5 the first
+        # shingle-heavy query paid a ~8-15 s one-time codegen knee
+        # inside its recorded time). Standalone cold-JVM runs of
         # the same query (e.g. corpus_filter ~5.6-6.2 s vs ~6-7.6 s
         # in-loop at sf0.1) can read faster because the in-loop run
         # inherits GC/storage-pool history; the in-loop number is the
         # one this artifact and BASELINE.md quote.
         scratch.release()
         spark.catalog.clearCache()
+    # flat [start, end, max] (kept compact: the final stdout line has a
+    # hard 1.9 KB budget and this field rides in it)
+    headline_loadavg = [headline_la[0], round(os.getloadavg()[0], 1),
+                        round(la_max, 1)]
+    print(f"# headline_loadavg [start, end, max]: {headline_loadavg}",
+          file=sys.stderr)
 
     # no-silent-caps: how much shingle mass the default df cap excluded
     # from the near-dup queries above (0 at every shipped fixture — the
@@ -296,6 +341,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "headline_loadavg": headline_loadavg,
         "frontier": frontier,
         "wave": wave,
         "shingle_df_cap": cap_stats,
@@ -405,6 +451,7 @@ def is_default_run(scaling, env=None) -> bool:
         "SPARK_GRAFT_SCALING_WAVE_URLS": "8000000",
         "SPARK_GRAFT_FRONTIER_LISTINGS": "4",
         "SPARK_GRAFT_FRONTIER_PROJECTS": "3000",
+        "SPARK_GRAFT_WARMUP_SF_DIR": "/root/testdata/sf0.001",
         "SPARK_GRAFT_DRIVER_MEM": "24g",  # session.py default
         "SPARK_GRAFT_LOCAL_DIR": None,  # default = unset
     }

@@ -25,8 +25,9 @@ def _result(scaling):
         "metric": "headline_queries_total",
         "value": 23.4,
         "unit": "sec",
-        "queries": {f"q{i:02d}": 1.234 for i in range(14)},
+        "queries": {f"q{i:02d}": 1.234 for i in range(16)},
         "sf": 0.1,
+        "headline_loadavg": [21.7, 18.3, 22.4],
         "frontier": {"pages": 44034, "urls_fetched": 31453, "urls_seen": 31453,
                      "waves": 6, "sec": 43.4, "urls_per_sec": 724.8},
         "wave": {"urls_in": 2000000, "urls_distinct": 1500000,
@@ -101,7 +102,8 @@ def test_final_line_fits_tail_and_parses():
     # the bulky per-run sections never reach the tail
     assert "levels" not in s and "all_wall_secs" not in s
     # headline numbers intact
-    assert d["value"] == 23.4 and len(d["queries"]) == 14
+    assert d["value"] == 23.4 and len(d["queries"]) == 16
+    assert d["headline_loadavg"] == [21.7, 18.3, 22.4]
     assert d["shingle_df_cap"]["shingles_dropped"] == 0
 
 
@@ -256,6 +258,7 @@ def test_is_default_run_value_compares_every_knob():
         ("SPARK_GRAFT_LOCAL_DIR", "/tmp/x"),
         ("SPARK_GRAFT_FRONTIER_LISTINGS", "1"),
         ("SPARK_GRAFT_FRONTIER_PROJECTS", "100"),
+        ("SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.01"),
         ("SPARK_GRAFT_DRIVER_MEM", "4g"),
     ]:
         assert bench.is_default_run(ok, env={**base, k: v}) is False, k

@@ -228,6 +228,46 @@ def test_lsh_bucket_topk_survives_null_embeddings(spark, planted):
     assert got == base
 
 
+def test_lsh_bucket_topk_single_band_misses_banding_is_load_bearing(planted):
+    """Mirror of test_single_band_misses_pairs_banding_is_load_bearing
+    for the TOP-K path (the r4 verdict's missing pin): the driver's
+    lsh_topk gate proves recall-everything at 8×8 banding; this proves
+    the banding is what buys it. At n_bands=1 × n_planes=16, per-copy
+    recall is p^16 ≈ 0.27 at cos 0.97 (p = 1−acos(0.97)/π) — over 20
+    planted (query, copy) hits some MUST drop, and the hyperplanes are
+    (seed, dim)-deterministic so the outcome is stable, not a coin flip.
+    If someone removes the OR-over-bands union, this fails before the
+    driver gate does."""
+    queries = planted.filter(F.col("vec_id") < _N_PLANTED)
+
+    def own_copy_hits(rows):
+        # (i, 1000+i) only: a query's top-k can also contain OTHER
+        # planted copies (nearby base vectors' copies) — those don't
+        # measure recall of the planted pair
+        return {
+            (r.query_id, r.vec_id)
+            for r in rows
+            if r.vec_id == 1000 + r.query_id
+        }
+
+    exact_hits = own_copy_hits(
+        similarity.cosine_topk(planted, queries, k=2).collect()
+    )
+    assert len(exact_hits) == _N_PLANTED  # each query's copy is in its top-2
+    banded_hits = own_copy_hits(
+        similarity.lsh_bucket_topk(
+            planted, queries, k=2, n_planes=8, n_bands=8
+        ).collect()
+    )
+    assert banded_hits == exact_hits  # the shipped banding recalls all
+    one_band_hits = own_copy_hits(
+        similarity.lsh_bucket_topk(
+            planted, queries, k=2, n_planes=16, n_bands=1
+        ).collect()
+    )
+    assert one_band_hits < exact_hits  # strict subset: single band drops hits
+
+
 def test_band_sigs_dim_is_a_dataset_property_not_batch_local(spark):
     """The reference dim is resolved ONCE per dataset
     (similarity._embedding_dim) and passed into the UDF, so which rows
