@@ -259,18 +259,27 @@ def main() -> None:
     # per headline query compiles every operator family's generated code
     # before anything is timed (see WARMUP_SF_DIR note). Released/cleared
     # after, so the timed loop still starts cold-cache.
+    # `warmup` rides in the result JSON so a recording where the warmup
+    # was skipped or partly failed is machine-distinguishable from a
+    # contract-conforming one (no-silent-caps: a knee-contaminated
+    # artifact must say so), and is_default_run refuses to overwrite the
+    # tracked BENCH_FULL.json unless the warmup ran clean.
+    warmup = None
     if os.path.isdir(WARMUP_SF_DIR):
         t0 = time.monotonic()
+        warmup = {"sec": 0.0, "failed": []}
         for name in HEADLINE:
             try:
                 queries[name](spark, WARMUP_SF_DIR).count()
             except Exception as e:
+                warmup["failed"].append(name)
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
             scratch.release()
         spark.catalog.clearCache()
+        warmup["sec"] = round(time.monotonic() - t0, 1)
         print(
             f"# warmup: {len(HEADLINE)} queries at {WARMUP_SF_DIR} in "
-            f"{round(time.monotonic() - t0, 1)}s",
+            f"{warmup['sec']}s ({len(warmup['failed'])} failed)",
             file=sys.stderr,
         )
     else:
@@ -309,9 +318,12 @@ def main() -> None:
         scratch.release()
         spark.catalog.clearCache()
     # flat [start, end, max] (kept compact: the final stdout line has a
-    # hard 1.9 KB budget and this field rides in it)
-    headline_loadavg = [headline_la[0], round(os.getloadavg()[0], 1),
-                        round(la_max, 1)]
+    # hard 1.9 KB budget and this field rides in it). The end sample
+    # folds into max — it is the section's last observation, and a
+    # triple with max < end would under-read the peak.
+    la_end = os.getloadavg()[0]
+    la_max = max(la_max, la_end)
+    headline_loadavg = [headline_la[0], round(la_end, 1), round(la_max, 1)]
     print(f"# headline_loadavg [start, end, max]: {headline_loadavg}",
           file=sys.stderr)
 
@@ -342,6 +354,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "headline_loadavg": headline_loadavg,
+        "warmup": warmup,
         "frontier": frontier,
         "wave": wave,
         "shingle_df_cap": cap_stats,
@@ -424,7 +437,12 @@ def main() -> None:
     # clobbered the recorded sf0.1 artifact); anything else records to
     # BENCH_LOCAL.json. SPARK_GRAFT_RECORD=1 forces the tracked file.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    out_name = "BENCH_FULL.json" if is_default_run(scaling) else "BENCH_LOCAL.json"
+    warmup_ok = warmup is not None and not warmup["failed"]
+    out_name = (
+        "BENCH_FULL.json"
+        if is_default_run(scaling, warmup_ok=warmup_ok)
+        else "BENCH_LOCAL.json"
+    )
     try:
         with open(os.path.join(repo_dir, out_name), "w") as f:
             json.dump(result, f, indent=1)
@@ -433,13 +451,18 @@ def main() -> None:
     print(compact_result_line(result))
 
 
-def is_default_run(scaling, env=None) -> bool:
+def is_default_run(scaling, env=None, warmup_ok: bool = True) -> bool:
     """True iff this run used the exact recorded-artifact configuration,
     so it may overwrite the tracked BENCH_FULL.json. ANY knob override —
     by value, not mere env presence, since the round driver may export
     defaults explicitly — routes the record to BENCH_LOCAL.json
-    (gitignored). SPARK_GRAFT_RECORD=1 forces the tracked file."""
+    (gitignored). A skipped or partly-failed codegen warmup
+    (warmup_ok=False) also disqualifies: its timings carry the JIT knee
+    the recorded-artifact contract excludes. SPARK_GRAFT_RECORD=1 forces
+    the tracked file."""
     env = os.environ if env is None else env
+    if not warmup_ok and env.get("SPARK_GRAFT_RECORD") != "1":
+        return False
     defaults = {
         "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1",
         "SPARK_GRAFT_CPUS": "32",
@@ -471,6 +494,19 @@ def compact_result_line(result: dict, max_bytes: int = 1900) -> str:
     number by emitting the multi-KB enriched line last — this function
     (pinned in tests/test_bench_contract.py) is the regression guard."""
     result = dict(result)
+    # warmup compacts to its wall (clean run) — null (skipped) and the
+    # failed-query dict pass through untouched, so a knee-contaminated
+    # recording stays visible even in the tail line
+    w = result.get("warmup")
+    if isinstance(w, dict) and not w.get("failed"):
+        result["warmup"] = w["sec"]
+    # the cap EVIDENCE (did anything get dropped?) rides the tail line;
+    # the cap constant and corpus-size context stay in BENCH_FULL.json
+    cap = result.get("shingle_df_cap")
+    if isinstance(cap, dict):
+        result["shingle_df_cap"] = {
+            k: cap[k] for k in ("shingles_dropped", "rows_dropped") if k in cap
+        }
     scaling = result.get("scaling")
     if scaling and "error" not in scaling:
         keep = (

@@ -76,10 +76,20 @@ class CuckooSpec:
         different tag rebuilds shards from the seen table instead of
         reusing tables whose fingerprints no longer match lookups."""
         return (
-            f"cuckoo:{bloom.PROBE_FORMAT}:mix={int(_MIX):x}"
+            f"cuckoo:{FP_FORMAT}:{bloom.PROBE_FORMAT}:mix={int(_MIX):x}"
             f":shards={self.n_shards}:buckets={self.buckets_per_shard}"
             f":slots={SLOTS}:fp=16"
         )
+
+
+# Version of CUCKOO's own fingerprint/bucket derivation (_fp_and_buckets:
+# splitmix64 remix, fp = bits 48-63 with the 0→1 remap, bucket-2 = b1 XOR
+# fp·_MIX). bloom.PROBE_FORMAT in the tag covers only the shared splitmix
+# remix — BUMP THIS whenever _fp_and_buckets would place the same (hash,
+# spec) in different (fingerprint, bucket) slots even with the remix and
+# _MIX unchanged; persisted tables written under another version return
+# silent false negatives, not errors.
+FP_FORMAT = "fp48-63-xormix-v1"
 
 
 SHARDS_SCHEMA = T.StructType(

@@ -552,7 +552,12 @@ class CrawlEngine:
                 " — rebuilding shards from the seen table",
                 file=sys.stderr,
             )
-            shards = self._rebuild_shards(parts["seen"][0])
+            # eager localCheckpoint: the O(|seen|) reconstruction runs
+            # ONCE here — shards feed multiple independent actions per
+            # wave (test, insert, commit), and a lazy rebuilt frame would
+            # re-scan the seen table on each (same pattern as the wave
+            # loop's shard checkpointing below)
+            shards = self._rebuild_shards(parts["seen"][0]).localCheckpoint()
         return CrawlState(
             pending=self._snapshots["pending"].read_version(snaps["pending"]),
             done_parts=parts["done"],

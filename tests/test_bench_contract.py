@@ -28,6 +28,7 @@ def _result(scaling):
         "queries": {f"q{i:02d}": 1.234 for i in range(16)},
         "sf": 0.1,
         "headline_loadavg": [21.7, 18.3, 22.4],
+        "warmup": {"sec": 16.2, "failed": []},
         "frontier": {"pages": 44034, "urls_fetched": 31453, "urls_seen": 31453,
                      "waves": 6, "sec": 43.4, "urls_per_sec": 724.8},
         "wave": {"urls_in": 2000000, "urls_distinct": 1500000,
@@ -105,6 +106,16 @@ def test_final_line_fits_tail_and_parses():
     assert d["value"] == 23.4 and len(d["queries"]) == 16
     assert d["headline_loadavg"] == [21.7, 18.3, 22.4]
     assert d["shingle_df_cap"]["shingles_dropped"] == 0
+    # clean warmup compacts to its wall; a failed one keeps the dict so
+    # the knee contamination stays visible in the tail line
+    assert d["warmup"] == 16.2
+    bad = _result(_full_scaling())
+    bad["warmup"] = {"sec": 16.2, "failed": ["ngram_jaccard"]}
+    d2 = json.loads(bench.compact_result_line(bad))
+    assert d2["warmup"] == {"sec": 16.2, "failed": ["ngram_jaccard"]}
+    skipped = _result(_full_scaling())
+    skipped["warmup"] = None
+    assert json.loads(bench.compact_result_line(skipped))["warmup"] is None
 
 
 def test_final_line_with_no_scaling():
@@ -265,5 +276,11 @@ def test_is_default_run_value_compares_every_knob():
     # failed or skipped scaling never records
     assert bench.is_default_run(None, env=base) is False
     assert bench.is_default_run({"error": "boom"}, env=base) is False
+    # a skipped/partly-failed codegen warmup never records either — its
+    # timings carry the JIT knee the recorded-artifact contract excludes
+    assert bench.is_default_run(ok, env=base, warmup_ok=False) is False
     # explicit force wins regardless
     assert bench.is_default_run(None, env={"SPARK_GRAFT_RECORD": "1"}) is True
+    assert bench.is_default_run(
+        None, env={"SPARK_GRAFT_RECORD": "1"}, warmup_ok=False
+    ) is True

@@ -96,6 +96,55 @@ def test_resume_rebuilds_shards_on_seen_format_mismatch(
     )
 
 
+def test_resume_rebuilds_cuckoo_shards_on_format_mismatch(
+    spark, site_df, politeness_df, robots_df, tmp_path
+):
+    """Cuckoo-mode twin of the bloom rebuild test: a pre-stamp manifest
+    forces _rebuild_shards down the cuckoo_insert branch (re-inserting
+    every committed url_hash into fresh tables under the current
+    FP_FORMAT); the resumed run must equal the uninterrupted one."""
+    import json
+    import os
+
+    from tbbid_scrapy_spark.operators.cuckoo import CuckooSpec
+
+    seeds = sitegen.default_seeds()
+    spec = CuckooSpec.for_capacity(10_000, n_shards=8)
+
+    full = CrawlEngine(
+        spark, site_df, seeds, politeness_df, robots_df,
+        CrawlConfig(max_waves=50, seen_mode="cuckoo", cuckoo_spec=spec),
+    ).run()
+
+    ck = str(tmp_path / "ck")
+    CrawlEngine(
+        spark, site_df, seeds, politeness_df, robots_df,
+        CrawlConfig(max_waves=3, checkpoint_dir=ck, seen_mode="cuckoo",
+                    cuckoo_spec=spec),
+    ).run()
+
+    mpath = os.path.join(ck, "_MANIFEST")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    assert manifest["seen_format"] == spec.format_tag()
+    assert ":fp48-63-xormix-v1:" in manifest["seen_format"]  # cuckoo's OWN version
+    del manifest["seen_format"]
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+
+    resumed = CrawlEngine(
+        spark, site_df, seeds, politeness_df, robots_df,
+        CrawlConfig(max_waves=50, checkpoint_dir=ck, seen_mode="cuckoo",
+                    cuckoo_spec=spec),
+    ).run(resume=True)
+
+    assert _order(resumed) == _order(full)
+    assert (
+        {r.url_norm for r in resumed.seen.collect()}
+        == {r.url_norm for r in full.seen.collect()}
+    )
+
+
 def test_resume_reuses_shards_on_matching_format(
     spark, site_df, politeness_df, robots_df, tmp_path
 ):
