@@ -77,25 +77,30 @@ elif mode == "wave":
     # exclude the warmup run AND bench_wave's own setup stages (8M-URL
     # generation + cache fill + shard init) — the timed `sec` excludes
     # them, so the stage decomposition must cover the same stage set
+    # _setup_stage_ids is already a set of (stageId, attemptId) tuples —
+    # same-process handoff from bench_wave, no serialization boundary
     setup_ids = out.pop("_setup_stage_ids", None) or set()
     out["stage_split"] = stagemetrics.stage_split(
-        spark, exclude=warmup_ids | set(map(tuple, setup_ids)))
+        spark, exclude=warmup_ids | setup_ids)
 else:
     import __spark_entry__ as entrymod
     import bench
     from tbbid_scrapy_spark.operators import scratch
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     qs = entrymod.queries()
-    t0 = time.monotonic()
     rows = 0
+    sec = 0.0
     for name in bench.HEADLINE:
+        t0 = time.monotonic()
         rows += qs[name](spark, sf_dir).count()
+        sec += time.monotonic() - t0
         # same cold-cache-per-query contract as bench.py's headline loop:
-        # drop operator scratch persists between queries so cross-query
-        # storage-pool pressure doesn't ride inside the timed region
+        # drop operator scratch persists between queries — OUTSIDE the
+        # accumulated walls, exactly as bench.py stops each query's clock
+        # before its cleanup (the mode-level wall is the sum of query
+        # walls, comparable to the headline per-query sums)
         scratch.release()
         spark.catalog.clearCache()
-    sec = time.monotonic() - t0
     out = {{"wall_sec": round(sec, 3), "work_units": rows}}
 print("RESULT:" + json.dumps(out))
 """
@@ -114,9 +119,9 @@ def run_level(repo: str, cpus: int, mode: str) -> dict:
 
 
 def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    import statistics
+
+    return float(statistics.median(xs))
 
 
 def measure(lo: int, hi: int, mode: str = "wave", repeats: int = 5,
@@ -129,6 +134,11 @@ def measure(lo: int, hi: int, mode: str = "wave", repeats: int = 5,
     epoch shifts in either direction; best-of-runs and median-of-walls
     are reported as context only. Also embeds per-pair loadavgs,
     wall spreads, and the map/shuffle stage decomposition."""
+    if lo >= hi:
+        # reversed/equal levels make the efficiency ratio meaningless
+        # (equal → trivially ~1.0, reversed → inverted semantics, both
+        # capped into a vacuous pass) — refuse to produce gated evidence
+        raise ValueError(f"scaling levels must satisfy lo < hi, got {lo} >= {hi}")
     repo = os.path.dirname(os.path.abspath(__file__))
     # the sandbox box is shared (loadavg shows neighbor activity with no
     # local processes; 2-3x run-to-run spread) → interleave levels so
@@ -240,7 +250,17 @@ def measure(lo: int, hi: int, mode: str = "wave", repeats: int = 5,
     # disks/NIC, so the shuffle class scales like the map class does here;
     # projected_efficiency_4n evidences the criterion with that substitution
     # (single-box shuffle serializes through one JVM — see stagemetrics.py).
-    sp_lo, sp_hi = r_lo.get("stage_split"), r_hi.get("stage_split")
+    # The decomposition comes from the MEDIAN pair's two runs — the same
+    # epoch-consistent unit the gate medians over. (It previously paired
+    # the best-of-N lo run with the best-of-N hi run, a cross-epoch
+    # combination these comments reject for the measured gate: one quiet
+    # lo leg could inflate map_speedup and the projection built on it.)
+    capped = [min(p, 1.0) for p in pair_effs]
+    med_i = min(
+        range(len(capped)), key=lambda i: (abs(capped[i] - median_pair_eff), i)
+    )
+    r_lo_m, r_hi_m = runs_lo[med_i], runs_hi[med_i]
+    sp_lo, sp_hi = r_lo_m.get("stage_split"), r_hi_m.get("stage_split")
     if sp_lo and sp_hi:
         map_speedup = (
             sp_lo["map_wall_sec"] / sp_hi["map_wall_sec"]
@@ -251,6 +271,8 @@ def measure(lo: int, hi: int, mode: str = "wave", repeats: int = 5,
             if sp_hi["shuffle_wall_sec"] else None
         )
         out["decomposition"] = {
+            "pair_index": med_i,
+            "pair_efficiency": pair_effs[med_i],
             "map_wall_sec": {str(lo): sp_lo["map_wall_sec"], str(hi): sp_hi["map_wall_sec"]},
             "shuffle_wall_sec": {
                 str(lo): sp_lo["shuffle_wall_sec"], str(hi): sp_hi["shuffle_wall_sec"],
@@ -259,8 +281,15 @@ def measure(lo: int, hi: int, mode: str = "wave", repeats: int = 5,
                 str(lo): sp_lo["map_wall_fraction"], str(hi): sp_hi["map_wall_fraction"],
             },
             "shuffle_read_mb": sp_hi["shuffle_read_mb"],
-            "map_speedup": round(map_speedup, 3) if map_speedup else None,
-            "shuffle_speedup": round(shuffle_speedup, 3) if shuffle_speedup else None,
+            # `is not None`: a genuine 0.0 speedup (sub-ms map walls on a
+            # tiny smoke wave) must report as 0.0, not as null — null
+            # reads as "hi wall was zero / not measured" (no-silent-caps)
+            "map_speedup": (
+                round(map_speedup, 3) if map_speedup is not None else None
+            ),
+            "shuffle_speedup": (
+                round(shuffle_speedup, 3) if shuffle_speedup is not None else None
+            ),
         }
         # Projection to a real N→4N EXECUTOR cluster from the single-box
         # proxy, made explicit so the criterion is checkable:
@@ -275,6 +304,9 @@ def measure(lo: int, hi: int, mode: str = "wave", repeats: int = 5,
         #      projected_speedup = map_wall_speedup × cpu_inflation.
         # Capped at 1.0 (never claim superlinear).
         if map_speedup and sp_lo.get("map_task_sec") and sp_hi.get("map_task_sec"):
+            # (map_speedup truthiness is right here: a 0.0 speedup means
+            # degenerate sub-ms walls — projecting from it would divide
+            # garbage; the decomposition above still reports the 0.0)
             cpu_inflation = sp_hi["map_task_sec"] / sp_lo["map_task_sec"]
             # credit for single-box per-task CPU inflation is CAPPED at 1.5
             # (the measured shared-memory-bus effect at 2→8 on this box is
@@ -306,6 +338,8 @@ def main() -> None:
                     choices=["frontier", "frontier_big", "wave", "queries"])
     ap.add_argument("--repeats", type=int, default=5)
     args = ap.parse_args()
+    if args.cpus[0] >= args.cpus[1]:
+        ap.error(f"--cpus must be lo < hi, got {args.cpus}")
     print(json.dumps(measure(args.cpus[0], args.cpus[1], args.mode, args.repeats)))
 
 

@@ -60,6 +60,33 @@ def _scratch_local_dir() -> str | None:
         return None
 
 
+def _proc_start_time(pid: str) -> tuple[float, str] | None:
+    """(start_epoch_sec, state) for a live process, or None if the
+    process is gone/unreadable. The TRUE start time comes from
+    /proc/<pid>/stat field 22 (starttime, clock ticks since boot) plus
+    the boot epoch (/proc/stat btime) — NOT from /proc/<pid> mtime,
+    which on current kernels is the procfs dentry-INSTANTIATION time: it
+    reads as "first time anyone stat'ed this entry" and resets on
+    dentry-cache eviction, so it can postdate a dir created by the live
+    owner (measured on this box: a fresh stat after drop_caches returns
+    now). Using it as a start-time proxy inverted the sweep's safety
+    property. comm (field 2) may contain spaces/parens — fields are
+    counted after the LAST ')'."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            data = f.read().decode("ascii", "replace")
+        rest = data[data.rindex(")") + 2:].split()
+        state = rest[0]  # field 3
+        start_ticks = int(rest[19])  # field 22
+        with open("/proc/stat") as f:
+            btime = next(
+                int(line.split()[1]) for line in f if line.startswith("btime ")
+            )
+        return btime + start_ticks / os.sysconf("SC_CLK_TCK"), state
+    except (OSError, ValueError, IndexError, StopIteration):
+        return None
+
+
 def _sweep_stale_scratch(root: str, max_age_sec: int = 24 * 3600) -> None:
     """Best-effort reclamation of scratch left by killed JVMs (Spark
     deletes its blockmgr-*/spark-* dirs via shutdown hook, which SIGKILL
@@ -88,16 +115,22 @@ def _sweep_stale_scratch(root: str, max_age_sec: int = 24 * 3600) -> None:
             if name.startswith("pid") and name[3:].isdigit():
                 if name == f"pid{os.getpid()}":
                     continue
-                proc = f"/proc/{name[3:]}"
-                alive = os.path.exists(proc)
+                info = _proc_start_time(name[3:])
+                if info is None and os.path.exists(f"/proc/{name[3:]}"):
+                    # process visibly exists but its stat is unreadable
+                    # (permissions/hidepid): ownership is UNKNOWN — keep.
+                    # Deleting a live session's shuffle dirs is the
+                    # catastrophe; leaking until the process exits is not.
+                    continue
+                # a zombie (state Z) has exited — its JVM can't be using
+                # scratch; only reaping is pending. Treat as dead.
+                alive = info is not None and info[1] != "Z"
                 if alive:
-                    try:
-                        # /proc/<pid> st_mtime ≈ process start; the true
-                        # owner created the dir AFTER it started, so a
-                        # process younger than the dir cannot own it
-                        recycled = os.stat(proc).st_mtime > os.path.getmtime(p)
-                    except OSError:
-                        recycled = False
+                    # TRUE start time (jiffies+btime, see _proc_start_time):
+                    # the owner created the dir AFTER it started, so a
+                    # process younger than the dir cannot own it. 2 s
+                    # slack absorbs tick/clock rounding at the boundary.
+                    recycled = info[0] > os.path.getmtime(p) + 2.0
                     if not recycled:
                         continue
                 shutil.rmtree(p, ignore_errors=True)

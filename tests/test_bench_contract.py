@@ -249,6 +249,59 @@ def test_pair_efficiencies_capped_before_median(monkeypatch):
     assert out["meets_target"] is True
 
 
+def test_measure_rejects_reversed_or_equal_levels():
+    """lo >= hi produces a meaningless (trivially-passing) efficiency —
+    the measurement must refuse, not emit vacuous gated evidence."""
+    import pytest
+
+    import bench_scaling
+
+    with pytest.raises(ValueError):
+        bench_scaling.measure(8, 8, "wave", repeats=1)
+    with pytest.raises(ValueError):
+        bench_scaling.measure(32, 8, "wave", repeats=1)
+
+
+def test_decomposition_uses_median_pair_not_best_runs(monkeypatch):
+    """The map/shuffle decomposition (and the projection built on it)
+    must come from the MEDIAN pair's two runs — the epoch-consistent
+    unit the gate medians over — not from the best-of-N lo run paired
+    with the best-of-N hi run (a cross-epoch combination that can
+    inflate map_speedup)."""
+    import bench_scaling
+
+    # pair effs [0.9, 0.8, 0.7] → median pair is index 1. Best runs are
+    # pair 0's (fastest walls) with a DIFFERENT stage split.
+    effs = (0.9, 0.8, 0.7)
+    walls_lo = [100.0, 110.0, 120.0]
+    walls_hi = [walls_lo[i] / (4 * e) for i, e in enumerate(effs)]
+
+    def split(map_wall):
+        return {"map_wall_sec": map_wall, "shuffle_wall_sec": 10.0,
+                "map_wall_fraction": 0.8, "shuffle_read_mb": 100.0,
+                "map_task_sec": map_wall * 2}
+
+    calls = {"i": 0}
+
+    def fake_run_level(repo, cpus, mode):
+        i = calls["i"] // 2
+        is_hi = calls["i"] % 2 == 1
+        calls["i"] += 1
+        w = walls_hi[i] if is_hi else walls_lo[i]
+        # distinguishable splits: pair i's map wall encodes (i, level)
+        return {"wall_sec": w, "work_units": 1000,
+                "stage_split": split(1000.0 * (i + 1) + (1 if is_hi else 0))}
+
+    monkeypatch.setattr(bench_scaling, "run_level", fake_run_level)
+    out = bench_scaling.measure(2, 8, "wave", repeats=3)
+    d = out["decomposition"]
+    assert d["pair_index"] == 1 and d["pair_efficiency"] == 0.8
+    # split values are pair 1's, not pair 0's
+    assert d["map_wall_sec"]["2"] == 2000.0
+    assert d["map_wall_sec"]["8"] == 2001.0
+    assert d["map_speedup"] == round(2000.0 / 2001.0, 3)
+
+
 def test_is_default_run_value_compares_every_knob():
     ok = {"scaling_efficiency": 0.9}
     base = {"SPARK_GRAFT_SCALING_WAVE_URLS": "8000000"}  # main() setdefaults this

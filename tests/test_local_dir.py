@@ -109,17 +109,65 @@ def test_sweep_never_age_caps_live_owner_pid_dirs(monkeypatch, tmp_path):
         "getmtime",
         lambda p: fake_dir_mtime if p == str(owned) else real_getmtime(p),
     )
-
-    class _StartedBeforeDir:
-        st_mtime = fake_dir_mtime - 3600.0
-
-    real_stat = os.stat
     monkeypatch.setattr(
-        session.os,
-        "stat",
-        lambda p, *a, **k: _StartedBeforeDir
-        if p == "/proc/1"
-        else real_stat(p, *a, **k),
+        session,
+        "_proc_start_time",
+        lambda pid: (fake_dir_mtime - 3600.0, "S") if pid == "1" else None,
     )
     session._sweep_stale_scratch(str(tmp_path))
     assert owned.exists()
+
+
+def test_proc_start_time_is_true_start_not_dentry_mtime():
+    """_proc_start_time must come from /proc/<pid>/stat field 22 +
+    btime, never from /proc/<pid> mtime: procfs dentry timestamps are
+    instantiation times that reset on cache eviction (measured on this
+    box), and using them once inverted the sweep's safety property —
+    a live foreign session's dir read as 'recycled' and was rmtree'd
+    mid-job. Pin: our own start is between boot and now, and a
+    just-spawned child's start is within seconds of now (a dentry-mtime
+    implementation stat'ed later would drift)."""
+    import subprocess
+
+    now = time.time()
+    self_info = session._proc_start_time(str(os.getpid()))
+    assert self_info is not None
+    start, state = self_info
+    assert state not in ("Z", "X")
+    assert 0 < start <= now + 2.0
+    with open("/proc/stat") as f:
+        btime = next(int(l.split()[1]) for l in f if l.startswith("btime "))
+    assert start >= btime
+    p = subprocess.Popen(["sleep", "5"])
+    try:
+        child = session._proc_start_time(str(p.pid))
+        assert child is not None
+        assert abs(child[0] - time.time()) < 5.0
+        assert child[0] >= start  # child started after this test process
+    finally:
+        p.kill()
+        p.wait()
+
+
+def test_sweep_reclaims_zombie_owner_dirs(tmp_path):
+    """A zombie (exited, unreaped) driver cannot be using scratch —
+    without the state check its tmpfs dirs would be pinned for as long
+    as the wedged parent lives."""
+    import subprocess
+
+    p = subprocess.Popen(["true"])
+    deadline = time.time() + 10
+    try:
+        while time.time() < deadline:
+            info = session._proc_start_time(str(p.pid))
+            if info is not None and info[1] == "Z":
+                break
+            time.sleep(0.05)
+        else:
+            raise AssertionError("child never became a zombie")
+        d = tmp_path / f"pid{p.pid}"
+        d.mkdir()
+        session._sweep_stale_scratch(str(tmp_path))
+        assert not d.exists()
+    finally:
+        p.wait()  # reap
