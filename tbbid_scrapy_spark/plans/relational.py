@@ -313,7 +313,15 @@ def upsert_company(current: DataFrame, incoming: DataFrame) -> DataFrame:
         on_matched["others"] = lambda c: F.when(
             F.col(f"s.{c}").isNotNull() & (F.col(f"s.{c}") != ""), F.col(f"s.{c}")
         ).otherwise(F.col(f"t.{c}"))
-    return merge_upsert(current, incoming, ["corp_code"], on_matched=on_matched)
+    # on_duplicate='error': bid_count is ADDITIVE — a silent last-wins
+    # dedup of a duplicate-corp batch would drop an increment (the
+    # reference increments per sighting row). The corp-chain pipeline
+    # pre-aggregates to one row per corp_code (corp_items.company_frames
+    # groupBy), so a duplicate here is a caller bug that must fail loud.
+    return merge_upsert(
+        current, incoming, ["corp_code"], on_matched=on_matched,
+        on_duplicate="error",
+    )
 
 
 def employee_merge_key(df: DataFrame) -> DataFrame:

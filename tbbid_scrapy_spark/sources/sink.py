@@ -57,6 +57,50 @@ def _durable_replace(root: str, final: str, content: str) -> None:
         os.close(dfd)
 
 
+def _fsync_tree(path: str) -> None:
+    """fsync every file and directory under ``path`` (bottom-up), then
+    the parent directory entry.
+
+    Spark's local-FS parquet writes land in the page cache; close() does
+    NOT sync them. Flipping a durably-fsynced pointer/manifest at a
+    version directory whose data files are still volatile would INVERT
+    the durability guarantee: after a power loss the pointer survives
+    but the data it references doesn't, and the old consistent version
+    is unreachable — the exact outcome _durable_replace exists to
+    prevent. Called on every written version/part directory BEFORE the
+    pointer or manifest that references it flips. Cost is O(files in
+    this wave's delta) — the commits are already O(wave). On HDFS/S3
+    the store's own commit protocol provides durability; these roots
+    are plain local paths by construction (SURVEY §7 plan B)."""
+    for dirpath, _dirnames, filenames in os.walk(path, topdown=False):
+        for fn in filenames:
+            try:
+                fd = os.open(os.path.join(dirpath, fn), os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+            except OSError:
+                continue
+        try:
+            dfd = os.open(dirpath, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            continue
+    # the new directory's entry in its parent
+    try:
+        pfd = os.open(os.path.dirname(path.rstrip("/")) or "/", os.O_RDONLY)
+        try:
+            os.fsync(pfd)
+        finally:
+            os.close(pfd)
+    except OSError:
+        pass
+
+
 class SnapshotTable:
     """Versioned parquet table with atomic pointer swap."""
 
@@ -99,6 +143,7 @@ class SnapshotTable:
         v = max(self.current_version() or 0, self._max_version()) + 1
         out = self._version_dir(v)
         df.write.mode("overwrite").parquet(out)
+        _fsync_tree(out)  # data must be durable BEFORE the pointer is
         _durable_replace(self.root, self._pointer, str(v))
         return v
 
@@ -124,7 +169,9 @@ class SnapshotTable:
         versions from a crash before the manifest flip are unreferenced
         and harmless."""
         v = self._max_version() + 1
-        df.write.mode("overwrite").parquet(self._version_dir(v))
+        out = self._version_dir(v)
+        df.write.mode("overwrite").parquet(out)
+        _fsync_tree(out)  # durable before the Catalog manifest references it
         return v
 
     def read_version(self, v: int) -> DataFrame:
@@ -151,10 +198,15 @@ class DeltaTable:
     def write_part(self, df: DataFrame, label: str) -> str:
         name = f"part-{label}"
         df.write.mode("overwrite").parquet(self.part_dir(name))
+        _fsync_tree(self.part_dir(name))  # durable before the manifest flip
         return name
 
     def read(self, names: list[str]) -> DataFrame:
-        assert names, f"no committed parts in {self.root}"
+        if not names:
+            # explicit raise, not assert: input validation must survive
+            # `python -O` (a zero-path spark.read.parquet gives an opaque
+            # schema-inference error instead of this message)
+            raise ValueError(f"no committed parts in {self.root}")
         return self.spark.read.parquet(*[self.part_dir(n) for n in names])
 
 
@@ -235,6 +287,7 @@ def merge_upsert(
     keys: list[str],
     on_matched: dict[str, MatchedExpr] | None = None,
     source_order: list[str] | None = None,
+    on_duplicate: str = "dedup",
 ) -> DataFrame:
     """Set-oriented MERGE: WHEN MATCHED update / WHEN NOT MATCHED insert.
 
@@ -244,6 +297,15 @@ def merge_upsert(
       order would keep a shuffle-dependent arbitrary row when the same
       key arrives with different payloads). Callers whose source carries
       non-orderable columns (maps) must pass ``source_order``.
+    - ``on_duplicate``: ``"dedup"`` (default, above) or ``"error"`` —
+      fail the job when the source carries duplicate keys, matching
+      Iceberg ``MERGE INTO`` (which raises on multiple matching source
+      rows). ADDITIVE ``on_matched`` expressions (counter accumulation)
+      MUST use ``"error"``: silent last-wins dedup would drop an
+      increment, diverging from the reference's row-at-a-time upsert —
+      such callers pre-aggregate their batch per key instead. The check
+      is lazy (a window count + assert inside the same shuffle), costing
+      no extra action.
     - default matched behavior: source column replaces target column when
       source is matched (full-row update, like bidSaver.py's
       update-else-insert); per-column overrides via ``on_matched``
@@ -255,17 +317,47 @@ def merge_upsert(
     """
     on_matched = on_matched or {}
     data_cols = [c for c in target.columns if c not in keys]
-    assert set(target.columns) == set(source.columns), (
-        f"schema mismatch: {target.columns} vs {source.columns}"
-    )
+    if set(target.columns) != set(source.columns):
+        # explicit raise (assert vanishes under python -O): a mismatch
+        # would otherwise surface as a confusing missing-column
+        # AnalysisException deep inside the join
+        raise ValueError(
+            f"schema mismatch: {target.columns} vs {source.columns}"
+        )
+    if on_duplicate not in ("dedup", "error"):
+        raise ValueError(f"on_duplicate must be 'dedup' or 'error', got {on_duplicate!r}")
 
-    order_cols = source_order or (keys + data_cols)
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
-    src = (
-        source.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    if on_duplicate == "error":
+        # lazy duplicate-key detection riding the same per-key shuffle:
+        # assert_true raises at execution time on the first key with >1
+        # source rows (Iceberg MERGE INTO's multiple-match error). The
+        # check lives in a FILTER predicate so column pruning can't
+        # remove it.
+        wc = Window.partitionBy(*keys)
+        src = (
+            source.withColumn("_kc", F.count(F.lit(1)).over(wc))
+            .filter(
+                F.assert_true(
+                    F.col("_kc") == 1,
+                    F.concat(
+                        F.lit(
+                            "merge_upsert(on_duplicate='error'): duplicate "
+                            f"source rows for key {keys}: "
+                        ),
+                        *[F.concat(F.col(k).cast("string"), F.lit(" ")) for k in keys],
+                    ),
+                ).isNull()
+            )
+            .drop("_kc")
+        )
+    else:
+        order_cols = source_order or (keys + data_cols)
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+        src = (
+            source.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     # presence markers survive the outer join even when key columns are
     # legitimately NULL (join uses eqNullSafe)

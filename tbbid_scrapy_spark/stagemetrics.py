@@ -19,13 +19,21 @@ from __future__ import annotations
 
 import json
 import urllib.request
-from datetime import datetime
+from datetime import datetime, timezone
 
 
 def _parse_ts(ts: str) -> float:
-    """Spark REST timestamps look like '2026-08-16T18:37:35.123GMT'."""
+    """Spark REST timestamps look like '2026-08-16T18:37:35.123GMT' —
+    i.e. UTC. Parse them AS UTC: a naive .timestamp() would interpret
+    the wall time in the machine's local zone, shifting every stage wall
+    by the UTC offset and (across a DST transition) corrupting the
+    map/shuffle split the scaling projection is built on."""
     ts = ts.replace("GMT", "")
-    return datetime.strptime(ts, "%Y-%m-%dT%H:%M:%S.%f").timestamp()
+    return (
+        datetime.strptime(ts, "%Y-%m-%dT%H:%M:%S.%f")
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+    )
 
 
 def fetch_stages(spark) -> list[dict]:
@@ -52,16 +60,20 @@ def stage_split(spark, exclude: set[tuple[int, int]] | None = None) -> dict:
     and executor task-time seconds per class, plus shuffle volume.
     """
     exclude = exclude or set()
-    out = {
+    # accumulate RAW floats and round ONCE at the end: rounding inside
+    # the loop (round(acc + term, k)) silently discards every stage
+    # whose term is below the rounding quantum — 100 reduce stages of
+    # 40 KB each would report shuffle_read_mb 0.0 while
+    # n_shuffle_stages says 100 (internally inconsistent evidence)
+    acc = {
         "map_wall_sec": 0.0,
         "shuffle_wall_sec": 0.0,
         "map_task_sec": 0.0,
         "shuffle_task_sec": 0.0,
         "shuffle_read_mb": 0.0,
         "shuffle_write_mb": 0.0,
-        "n_map_stages": 0,
-        "n_shuffle_stages": 0,
     }
+    out = {"n_map_stages": 0, "n_shuffle_stages": 0}
     for s in fetch_stages(spark):
         if (s["stageId"], s["attemptId"]) in exclude:
             continue
@@ -74,15 +86,15 @@ def stage_split(spark, exclude: set[tuple[int, int]] | None = None) -> dict:
         task_sec = s.get("executorRunTime", 0) / 1000.0
         is_shuffle = s.get("shuffleReadBytes", 0) > 0
         cls = "shuffle" if is_shuffle else "map"
-        out[f"{cls}_wall_sec"] = round(out[f"{cls}_wall_sec"] + wall, 3)
-        out[f"{cls}_task_sec"] = round(out[f"{cls}_task_sec"] + task_sec, 3)
+        acc[f"{cls}_wall_sec"] += wall
+        acc[f"{cls}_task_sec"] += task_sec
         out[f"n_{cls}_stages"] += 1
-        out["shuffle_read_mb"] = round(
-            out["shuffle_read_mb"] + s.get("shuffleReadBytes", 0) / 1e6, 1
-        )
-        out["shuffle_write_mb"] = round(
-            out["shuffle_write_mb"] + s.get("shuffleWriteBytes", 0) / 1e6, 1
-        )
-    total = out["map_wall_sec"] + out["shuffle_wall_sec"]
-    out["map_wall_fraction"] = round(out["map_wall_sec"] / total, 3) if total else None
+        acc["shuffle_read_mb"] += s.get("shuffleReadBytes", 0) / 1e6
+        acc["shuffle_write_mb"] += s.get("shuffleWriteBytes", 0) / 1e6
+    for k, v in acc.items():
+        out[k] = round(v, 1 if k.endswith("_mb") else 3)
+    total = acc["map_wall_sec"] + acc["shuffle_wall_sec"]
+    out["map_wall_fraction"] = (
+        round(acc["map_wall_sec"] / total, 3) if total else None
+    )
     return out

@@ -6,6 +6,7 @@ CompanyEmployee.py:28-188, winner_bid.py:20-67)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tbbid_scrapy_spark.plans.relational import MERGE_SPECS, merge_sql_for
 from tbbid_scrapy_spark.sources.sink import to_merge_sql
@@ -106,3 +107,50 @@ def test_merge_upsert_duplicate_key_dedup_is_deterministic(spark):
     # desc over (keys, data cols): K1 keeps (9.0, 'b')
     kept = {r.k: (r.amt, r.tag) for r in out.collect()}
     assert kept["K1"] == (9.0, "b") and kept["K2"] == (1.0, "c")
+
+
+def test_merge_upsert_on_duplicate_error_matches_iceberg(spark):
+    """on_duplicate='error' fails on duplicate source keys like Iceberg
+    MERGE INTO's multiple-match error — required for ADDITIVE on_matched
+    (counter accumulation), where silent last-wins dedup would drop an
+    increment. Unique-key sources pass through unchanged."""
+    import pytest
+
+    from tbbid_scrapy_spark.sources.sink import merge_upsert
+
+    target = spark.createDataFrame([("K1", 1)], "k string, n int")
+    ok = spark.createDataFrame([("K1", 2), ("K2", 3)], "k string, n int")
+    add = {"n": lambda c: F.col(f"t.{c}") + F.col(f"s.{c}")}
+    out = {r.k: r.n for r in
+           merge_upsert(target, ok, ["k"], on_matched=add,
+                        on_duplicate="error").collect()}
+    assert out == {"K1": 3, "K2": 3}
+
+    dup = spark.createDataFrame([("K1", 1), ("K1", 1)], "k string, n int")
+    with pytest.raises(Exception) as ei:
+        merge_upsert(target, dup, ["k"], on_matched=add,
+                     on_duplicate="error").collect()
+    assert "duplicate" in str(ei.value)
+
+    with pytest.raises(ValueError):
+        merge_upsert(target, ok, ["k"], on_duplicate="bogus")
+
+
+def test_upsert_company_rejects_duplicate_corp_batch(spark):
+    """upsert_company's bid_count is additive — a batch with the same
+    corp_code twice must FAIL (the pipeline pre-aggregates; silently
+    dropping a sighting increment would diverge from the reference's
+    row-at-a-time upsert)."""
+    import pytest
+
+    from tbbid_scrapy_spark.plans import relational
+
+    cur = spark.createDataFrame(
+        [("C1", "n", 2)], "corp_code string, name string, bid_count int"
+    )
+    dup = spark.createDataFrame(
+        [("C1", "n", 1), ("C1", "n", 1)],
+        "corp_code string, name string, bid_count int",
+    )
+    with pytest.raises(Exception):
+        relational.upsert_company(cur, dup).collect()

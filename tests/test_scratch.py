@@ -73,6 +73,57 @@ def test_scope_releases_only_inner_frames(spark):
     scratch.release()
 
 
+def test_scope_exit_correct_under_cap_eviction(spark):
+    """Cap eviction firing INSIDE a scope must not shift what exit
+    releases: a length-mark implementation released the wrong frames
+    (pre-scope survivors) and leaked inner ones past the scope. The
+    scope tracks frame IDENTITY, so exit releases exactly the inner
+    frames still registered."""
+    scratch.release()
+    pre = [
+        scratch.persist(spark.createDataFrame([(i,)], "x bigint"))
+        for i in range(3)
+    ]
+    for df in pre:
+        df.count()
+    inner = []
+    with scratch.scope():
+        # enough registrations to blow the cap: the oldest (pre-scope)
+        # frames are evicted FIFO while the scope is open
+        for i in range(scratch.MAX_REGISTERED):
+            df = scratch.persist(spark.createDataFrame([(100 + i,)], "x bigint"))
+            df.count()
+            inner.append(df)
+    # every inner frame is unpersisted at exit — none leaked
+    for df in inner:
+        lvl = df.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk)
+    # survivors (if any) are pre-scope frames only
+    for df in list(scratch._SCRATCH):
+        assert any(df is p for p in pre)
+    scratch.release()
+
+
+def test_registry_thread_safety_under_concurrent_release(spark):
+    """register/release from multiple threads must not raise (the crawl
+    engine commits from a ThreadPoolExecutor; an unguarded
+    check-then-pop raced)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    scratch.release()
+    df = spark.createDataFrame([(1,)], "x bigint")
+
+    def spin(_):
+        for _ in range(50):
+            scratch.persist(df)
+            scratch.release()
+        return True
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        assert all(ex.map(spin, range(4)))
+    scratch.release()
+
+
 def test_registry_cap_evicts_oldest(spark):
     """A caller that never calls release() stays bounded: registering
     past MAX_REGISTERED unpersists and drops the oldest frame."""
