@@ -90,6 +90,7 @@ class HttpTransport:
     user_agent: str = "tbbid-scrapy-spark/0.2"
 
     def __call__(self, url_norm: str, attempts: int) -> tuple[int, str | None]:
+        import http.client
         import urllib.error
         import urllib.request
 
@@ -98,10 +99,29 @@ class HttpTransport:
         )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout_sec) as resp:
-                return resp.status, resp.read().decode("utf-8", "replace")
+                # honor the declared charset (the reference's targets
+                # commonly serve gbk/gb2312 — hardcoded utf-8 turned every
+                # CJK page into U+FFFD and the Chinese-regex extractors
+                # silently returned null on status-200 bodies)
+                charset = resp.headers.get_content_charset() or "utf-8"
+                raw = resp.read()
+                try:
+                    return resp.status, raw.decode(charset, "replace")
+                except LookupError:  # bogus charset token from the server
+                    return resp.status, raw.decode("utf-8", "replace")
         except urllib.error.HTTPError as e:
             return e.code, None
-        except (urllib.error.URLError, OSError, TimeoutError):
+        except (
+            urllib.error.URLError,
+            OSError,
+            TimeoutError,
+            # NOT OSError subclasses: BadStatusLine / IncompleteRead /
+            # LineTooLong / InvalidURL — a malformed server response must
+            # settle as a retryable 503 row, not crash the mapInPandas
+            # task (Spark would re-fetch the whole partition and abort
+            # the wave after 4 task failures)
+            http.client.HTTPException,
+        ):
             return 503, None
 
 

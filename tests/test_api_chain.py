@@ -101,3 +101,20 @@ def test_seeded_sample_partitioning_invariant(spark):
     fb = {r.id for r in seeded_sample_fraction(df.repartition(32), 0.1, ["id"], seed=7).collect()}
     assert fa == fb
     assert 600 < len(fa) < 1400  # ~10%
+
+
+def test_seeded_sample_fraction_tiny_fraction_not_cliffed_to_empty(spark):
+    """int-truncating the threshold made every fraction below 1/2^20
+    select NOTHING (at 10^10 rows a 5e-7 sample should be ~5000 rows,
+    not zero). The float threshold over 2^30 buckets keeps the expected
+    mass down to ~1e-9 granularity."""
+    from tbbid_scrapy_spark.operators.sampling import seeded_sample_fraction
+
+    df = spark.range(0, 2_000_000, 1, 8).select(F.col("id"))
+    got = seeded_sample_fraction(df, 5e-6, ["id"], seed=7).count()
+    # expected 10 rows; Poisson-loose bounds, but NOT zero
+    assert 0 < got < 60
+    import pytest
+
+    with pytest.raises(ValueError):
+        seeded_sample_fraction(df, 1.5, ["id"])

@@ -172,6 +172,31 @@ def test_simulated_politeness_clock(engine_state, politeness_df):
     assert total_fetches / total_s <= 4 * 3 / 2.0  # global ceiling
 
 
+def test_simulated_clock_uses_per_host_budget(spark):
+    """The politeness table's budget_per_wave IS the per-domain
+    concurrency (settings.py:29) — a host crawled at budget 8 must be
+    modeled at divisor 8, not the global default 4: 8 fetches at
+    (budget 8, delay 2 s) cost ceil(8/8)·2 = 2 s, not 4 s."""
+    from tbbid_scrapy_spark import schemas
+    from tbbid_scrapy_spark.plans.clock import simulated_clock
+
+    fetch_log = spark.createDataFrame(
+        [(0, f"https://wide.example.org/p{i}") for i in range(8)]
+        + [(0, f"https://narrow.example.org/p{i}") for i in range(4)]
+        + [(0, f"https://norule.example.org/p{i}") for i in range(8)],
+        "wave int, url_norm string",
+    )
+    politeness = spark.createDataFrame(
+        [("wide.example.org", 8, 2.0), ("narrow.example.org", 2, 3.0)],
+        schemas.POLITENESS,
+    )
+    rows = {r.wave: r for r in simulated_clock(fetch_log, politeness).collect()}
+    # wave 0 duration = max(wide ceil(8/8)*2=2, narrow ceil(4/2)*3=6,
+    # norule ceil(8/4)*2=4 with the defaults) = 6
+    assert rows[0].sim_duration_s == 6.0
+    assert rows[0].fetches == 20
+
+
 def test_hybrid_canonicalizer_crawl_parity(
     spark, sim, site_df, politeness_df, robots_df
 ):

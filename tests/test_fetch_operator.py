@@ -130,6 +130,76 @@ def test_http_transport_real_sockets(spark, local_site_server):
     assert rows["http://127.0.0.1:1/unreachable"].status == 503
 
 
+def test_http_transport_malformed_response_maps_to_503():
+    """A garbage status line raises http.client.BadStatusLine — an
+    HTTPException, NOT an OSError — which must settle as a retryable 503
+    row, not escape and kill the mapInPandas task (Spark would re-fetch
+    the whole partition and abort the wave after 4 task failures)."""
+    import socket
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def garbage_server():
+        conn, _ = srv.accept()
+        conn.recv(4096)
+        conn.sendall(b"GARBAGE NOT HTTP\r\n\r\n")
+        conn.close()
+        done.set()
+
+    t = threading.Thread(target=garbage_server, daemon=True)
+    t.start()
+    try:
+        status, body = HttpTransport(timeout_sec=5.0)(
+            f"http://127.0.0.1:{port}/x", 0
+        )
+        assert status == 503 and body is None
+        assert done.wait(5.0)
+    finally:
+        srv.close()
+
+
+def test_http_transport_honors_declared_charset(local_site_server):
+    """The reference's targets commonly serve gbk/gb2312; hardcoded
+    utf-8 decoding mojibaked every CJK byte (U+FFFD) so the Chinese
+    regex extractors silently returned null on 200 bodies. The declared
+    Content-Type charset must be honored, with utf-8 fallback for a
+    bogus token."""
+    text = "资金来源：为国家投资"
+
+    class _GbkHandler(_SiteHandler):
+        def do_GET(self):  # noqa: N802
+            if self.path == "/page/gbk":
+                body = text.encode("gbk")
+                ct = "text/html; charset=gbk"
+            elif self.path == "/page/badcharset":
+                body = "plain ascii".encode()
+                ct = "text/html; charset=no-such-codec"
+            else:
+                return super().do_GET()
+            self.send_response(200)
+            self.send_header("Content-Type", ct)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _GbkHandler)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        tr = HttpTransport(timeout_sec=5.0)
+        status, body = tr(f"{base}/page/gbk", 0)
+        assert status == 200 and body == text  # no U+FFFD mojibake
+        status, body = tr(f"{base}/page/badcharset", 0)
+        assert status == 200 and body == "plain ascii"  # utf-8 fallback
+    finally:
+        srv.shutdown()
+
+
 def test_fetch_preserves_all_input_columns(spark, site_df):
     pages = site_to_transport_pages(site_df.collect())
     batch = spark.createDataFrame(
