@@ -424,6 +424,47 @@ def q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_politeness_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 analytics under the oracle gate: the simulated politeness
+    clock (plans/clock.simulated_clock) over a fetch log derived
+    deterministically from `orders` — per wave, duration = max over
+    hosts of ceil(n / budget) × delay, the reference's
+    DOWNLOAD_DELAY × CONCURRENT_REQUESTS_PER_DOMAIN timeline
+    (settings.py:26,29). Oracle mirrors the derivation and the ceil
+    arithmetic verbatim; hosts without a politeness row exercise the
+    default (4, 2.0) fallback path.
+
+    fetch_log: host = h(o_custkey mod 53), wave = o_orderkey mod 4.
+    politeness rows exist only for EVEN hosts: budget 2 + host mod 5,
+    delay 0.5·(1 + host mod 3)."""
+    from tbbid_scrapy_spark.plans.clock import simulated_clock
+
+    o = _t(spark, sf_dir, "orders")
+    hostn = F.pmod(F.col("o_custkey"), F.lit(53))
+    host = F.format_string("h%d.example.org", hostn)
+    fetch_log = o.select(
+        F.pmod(F.col("o_orderkey"), F.lit(4)).cast("int").alias("wave"),
+        F.concat(
+            F.lit("https://"), host, F.lit("/cat/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url_norm"),
+    )
+    politeness = spark.createDataFrame(
+        [(f"h{i}.example.org", 2 + i % 5, 0.5 * (1 + i % 3))
+         for i in range(0, 53, 2)],
+        "host string, budget_per_wave int, delay_s double",
+    )
+    return (
+        simulated_clock(fetch_log, politeness)
+        .select(
+            "wave",
+            F.col("fetches").cast("long").alias("fetches"),
+            F.round(F.col("sim_duration_s"), 3).alias("sim_s"),
+        )
+        .orderBy("wave")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators
 # ---------------------------------------------------------------------------
@@ -981,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "counter_merge": q_counter_merge,
         "frontier_rank": q_frontier_rank,
+        "politeness_clock": q_politeness_clock,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1384,6 +1426,32 @@ def _oracle_sql_literal() -> dict[str, str]:
                    'https://' || host || path AS url_norm
             FROM ranked WHERE rk <= budget
             ORDER BY host, seq
+        """,
+        # mirror of q_politeness_clock: per (wave, host) counts, per-host
+        # budget/delay (politeness rows exist only for EVEN hosts — odd
+        # hosts take the (4, 2.0) defaults), wave duration = max over
+        # hosts of ceil(n/budget)·delay
+        "politeness_clock": """
+            WITH per_host AS (
+                SELECT o_orderkey % 4 AS wave,
+                       o_custkey % 53 AS hostn,
+                       count(*) AS n
+                FROM orders
+                GROUP BY 1, 2
+            ), with_rules AS (
+                SELECT wave, n,
+                       CASE WHEN hostn % 2 = 0 THEN 2 + hostn % 5
+                            ELSE 4 END AS budget,
+                       CASE WHEN hostn % 2 = 0 THEN 0.5 * (1 + hostn % 3)
+                            ELSE 2.0 END AS delay_s
+                FROM per_host
+            )
+            SELECT CAST(wave AS INT) AS wave,
+                   CAST(sum(n) AS BIGINT) AS fetches,
+                   round(max(ceil(n * 1.0 / budget) * delay_s), 3) AS sim_s
+            FROM with_rules
+            GROUP BY wave
+            ORDER BY wave
         """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
