@@ -22,9 +22,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tbbid_scrapy_spark.operators.dedup import normalize_text
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _disc_price() -> "F.Column":
+    """Discounted line revenue with the LOAD-BEARING decimal(18,4)
+    intermediate: double summation order differs between Spark and
+    DuckDB (r1 hash-mismatch class); fixed-point partial sums are
+    order-independent. One helper so a precision change can't reach
+    some revenue queries and not others."""
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -50,7 +63,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -89,9 +102,7 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     row vacuous; the full-text variant stays pinned non-vacuously on
     planted duplicates in tests/test_operators_dedup.py."""
     d = _t(spark, sf_dir, "documents")
-    norm = F.substring(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 1, 32
-    )
+    norm = F.substring(normalize_text(F.col("text")), 1, 32)
     return (
         d.groupBy(norm.alias("norm_key"))
         .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("first_doc"))
@@ -158,7 +169,7 @@ def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(dim), "l_suppkey")
         .groupBy("r_name")
-        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")).cast("double").alias("revenue"),
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"),
              F.count("*").alias("cnt"))
         .orderBy("r_name")
     )
@@ -172,7 +183,7 @@ def q_parent_child_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal end-to-end through BOTH aggregation levels: a double in the
     # middle re-rounds differently across engines (r1 hash mismatch)
     child = li.groupBy("l_orderkey").agg(
-        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")).alias("order_rev"),
+        F.sum(_disc_price()).alias("order_rev"),
         F.count("*").alias("n_lines"),
     )
     return (
@@ -230,7 +241,7 @@ def q_explode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: multi-value split + explode (company name ';' splitting,
     company_emp_info.py:62-76) — word frequencies per language."""
     d = _t(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    words = F.split(normalize_text(F.col("text")), " ")
     return (
         d.select("lang", F.explode(words).alias("word"))
         .filter(F.col("word") != "")
@@ -529,14 +540,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality features (length/punct/stopword ratios)."""
     d = _t(spark, sf_dir, "documents")
-    from tbbid_scrapy_spark.operators.text import TOKEN_PATTERN, quality_features
+    from tbbid_scrapy_spark.operators.text import quality_features, tokens
 
     c = F.col("text")
     feats = quality_features(c)
     return d.select(
         "doc_id",
         feats["n_words"].alias("n_words"),
-        F.size(F.regexp_extract_all(F.lower(c), F.lit(f"({TOKEN_PATTERN})"), 1)).alias("n_tokens"),
+        F.size(tokens(c)).alias("n_tokens"),
         F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
         F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
     ).orderBy("doc_id")
@@ -575,7 +586,13 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified to 1e-6 via rounded cos in the oracle)."""
     from tbbid_scrapy_spark.operators.similarity import cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # cast to double BEFORE scoring, like every other embedding query:
+    # the oracle casts to DOUBLE[] first, and float32 per-element
+    # products leave only ~3e-7 of margin under the round(cos, 6) gate
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
     queries = emb.filter(F.col("vec_id") < 8)
     return (
         cosine_topk(emb, queries, k=5)
@@ -798,14 +815,18 @@ def q_array_distinct_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5/T2: higher-order array filter + distinct + canonical sort
     (qualification keyword filtering, company_emp_info.py:115-121)."""
     d = _t(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    words = F.split(normalize_text(F.col("text")), " ")
     kws = F.array(F.lit("spark"), F.lit("scan"), F.lit("hash"), F.lit("merge"))
     filtered = F.array_sort(
         F.array_distinct(
             F.filter(words, lambda w: F.exists(kws, lambda k: w.contains(k)))
         )
     )
-    return d.select("doc_id", F.array_join(filtered, ",").alias("kept")).orderBy("doc_id")
+    # coalesce to '' like the oracle: a NULL text row must agree on
+    # both sides (Spark array_join(NULL) is NULL; the oracle coalesces)
+    return d.select(
+        "doc_id", F.coalesce(F.array_join(filtered, ","), F.lit("")).alias("kept")
+    ).orderBy("doc_id")
 
 
 def q_province_usci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1048,8 +1069,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
-_TOKEN_RE = r"[a-z]+|[0-9]+|[^\sa-z0-9]"
+# Whitespace as the EXPLICIT cross-engine class imported from the
+# engine (operators/text.WS_CHARS): Java regex \s includes \x0B, RE2's
+# (DuckDB) does not — with \s on both sides a vertical tab in any
+# document would silently diverge word counts / shingle sets / norm
+# keys between engine and oracle. Importing the SAME constant keeps the
+# two sides in lockstep by construction.
+from tbbid_scrapy_spark.operators.text import WS_CHARS as _WS_IN
+
+_WS = f"[{_WS_IN}]"
+_NORM = f"trim(regexp_replace(lower(text), '{_WS}+', ' ', 'g'))"
+_TOKEN_RE = f"[a-z]+|[0-9]+|[^{_WS_IN}a-z0-9]"
 _STOP_EN = "['the','of','and','to','in','is','that','it','for','on']"
 
 # Exact n-gram Jaccard ground truth. It is the oracle for THREE queries:
@@ -1162,10 +1192,10 @@ _ANN_IVF_SQL = """
 _CORPUS_FILTER_SQL = f"""
     WITH feats AS (
         SELECT doc_id, text,
-               CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS INT) AS n_words,
-               (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g'))) * 1.0
+               CAST(len(regexp_split_to_array(trim(lower(text)), '{_WS}+')) AS INT) AS n_words,
+               (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}_{_WS_IN}]', '', 'g'))) * 1.0
                  / greatest(length(text), 1) AS punct_ratio,
-               regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+               regexp_split_to_array(trim(lower(text)), '{_WS}+') AS ws
         FROM documents
     ), gated AS (
         SELECT doc_id, text, n_words,
@@ -1245,11 +1275,16 @@ def _oracle_sql_literal() -> dict[str, str]:
         "distinct": """
             SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
         """,
+        # NOT EXISTS, not NOT IN: Spark's left_anti matches NOT EXISTS
+        # semantics — a NULL o_custkey in the seed subquery would make
+        # NOT IN return ZERO rows while left_anti still returns the full
+        # anti set (null-robust pairing, like orphan_check's LEFT JOIN)
         "anti_join_seed": """
-            SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN
-                  (SELECT o_custkey FROM orders
-                   WHERE o_orderpriority = '1-URGENT')
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS
+                  (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority = '1-URGENT')
             ORDER BY c_custkey
         """,
         "orphan_check": """
@@ -1462,7 +1497,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "simhash": _JACCARD_SQL,
         "lang_id": f"""
             WITH words AS (
-                SELECT lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+                SELECT lang, regexp_split_to_array(trim(lower(text)), '{_WS}+') AS ws
                 FROM documents
             ), hits AS (
                 SELECT lang,
@@ -1498,7 +1533,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT doc_id,
                    len(string_split({_NORM}, ' ')) AS n_words,
                    len(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS n_tokens,
-                   round((length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g')))
+                   round((length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}_{_WS_IN}]', '', 'g')))
                          * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
                    round(len(list_filter(string_split({_NORM}, ' '),
                                          w -> list_contains({_STOP_EN}, w)))
@@ -1524,7 +1559,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                          * 1.0 / greatest(len(string_split({_NORM}, ' ')), 1)
                          AS stop_ratio,
                        (length(text) - length(regexp_replace(text,
-                            '[^\\p{{L}}\\p{{N}}_\\s]', '', 'g'))) * 1.0
+                            '[^\\p{{L}}\\p{{N}}_{_WS_IN}]', '', 'g'))) * 1.0
                          / greatest(length(text), 1) AS punct_ratio,
                        CASE WHEN len(string_split({_NORM}, ' ')) > 0
                             THEN list_sum(list_transform(string_split({_NORM}, ' '),
@@ -1595,10 +1630,10 @@ def _oracle_sql_literal() -> dict[str, str]:
                 )
             ) WHERE title IS NOT NULL ORDER BY doc_id
         """,
-        "array_distinct_filter": r"""
+        "array_distinct_filter": f"""
             SELECT doc_id,
                    coalesce(array_to_string(list_sort(list_distinct(list_filter(
-                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                       string_split({_NORM}, ' '),
                        w -> w LIKE '%spark%' OR w LIKE '%scan%'
                             OR w LIKE '%hash%' OR w LIKE '%merge%'
                    ))), ','), '') AS kept

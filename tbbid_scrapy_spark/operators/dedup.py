@@ -31,8 +31,12 @@ from tbbid_scrapy_spark.operators import scratch
 
 def normalize_text(col: Column) -> Column:
     """Canonical text form for exact dedup: lowercase, collapse
-    whitespace, trim."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    whitespace, trim. Whitespace is the explicit cross-engine class
+    (text.WS_CLASS), not \\s — Java's \\s includes \\x0B, RE2's (the
+    DuckDB oracle engine) does not."""
+    from tbbid_scrapy_spark.operators.text import WS_CLASS
+
+    return F.trim(F.regexp_replace(F.lower(col), f"{WS_CLASS}+", " "))
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:

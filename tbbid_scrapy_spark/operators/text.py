@@ -18,9 +18,19 @@ STOPWORDS: dict[str, list[str]] = {
     "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
 }
 
+# Whitespace as an EXPLICIT character class, not \s: Java regex \s is
+# [ \t\n\x0B\f\r] but RE2 (DuckDB, the oracle engine) \s omits \x0B —
+# a vertical tab in a document would make word counts, shingle sets,
+# and norm keys silently diverge between the engine and every oracle.
+# The explicit class means both engines tokenize identically for ALL
+# inputs, not just fixtures that happen to avoid \x0B. Interior (for
+# composing into other classes) and full class exported for reuse.
+WS_CHARS = r" \t\n\x0B\f\r"
+WS_CLASS = f"[{WS_CHARS}]"
+
 # BPE-ish tokenizer: words, numbers, or single non-space symbols — a
 # deterministic stand-in for subword tokenization with similar count scale.
-TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+TOKEN_PATTERN = rf"[A-Za-z]+|[0-9]+|[^{WS_CHARS}A-Za-z0-9]"
 
 
 def tokens(col: Column) -> Column:
@@ -30,7 +40,7 @@ def tokens(col: Column) -> Column:
 def token_count(col: Column) -> Column:
     """Whitespace-word count + regex token count in one struct."""
     return F.struct(
-        F.size(F.split(F.trim(col), r"\s+")).alias("words"),
+        F.size(F.split(F.trim(col), f"{WS_CLASS}+")).alias("words"),
         F.size(tokens(col)).alias("tokens"),
     )
 
@@ -39,7 +49,7 @@ def quality_features(col: Column) -> dict[str, Column]:
     """Length / punctuation / stopword-ratio features (the standard
     pretraining-corpus quality heuristics)."""
     n_chars = F.length(col)
-    words = F.split(F.trim(F.lower(col)), r"\s+")
+    words = F.split(F.trim(F.lower(col)), f"{WS_CLASS}+")
     n_words = F.size(words)
     en = F.array([F.lit(w) for w in STOPWORDS["en"]])
     stop_hits = F.size(F.filter(words, lambda w: F.array_contains(en, w)))
@@ -48,7 +58,7 @@ def quality_features(col: Column) -> dict[str, Column]:
     # rejected clean documents in exactly the languages STOPWORDS covers.
     # \p{L}\p{N} are identical Unicode general categories in Java regex
     # and DuckDB's RE2, so the oracle SQL uses the same class verbatim.
-    n_punct = n_chars - F.length(F.regexp_replace(col, r"[^\p{L}\p{N}_\s]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(col, rf"[^\p{{L}}\p{{N}}_{WS_CHARS}]", ""))
     mean_word_len = F.when(
         n_words > 0,
         F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / n_words,
@@ -79,7 +89,7 @@ def quality_score(col: Column) -> Column:
 
 def lang_scores(col: Column) -> Column:
     """Map of language → stopword hit count."""
-    words = F.split(F.trim(F.lower(col)), r"\s+")
+    words = F.split(F.trim(F.lower(col)), f"{WS_CLASS}+")
     entries = []
     for lang, sw in STOPWORDS.items():
         arr = F.array([F.lit(w) for w in sw])
@@ -113,7 +123,7 @@ def fingerprint(col: Column, n: int = 4) -> Column:
     """Order-sensitive 64-bit document fingerprint: xxhash64 chain over
     word 4-gram hashes (a rolling-hash analog, built from sortable
     array ops — min/max/first of gram hashes folded with length)."""
-    toks = F.split(F.trim(F.lower(col)), r"\s+")
+    toks = F.split(F.trim(F.lower(col)), f"{WS_CLASS}+")
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     gram_hashes = F.transform(
         F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),

@@ -49,3 +49,35 @@ def test_clean_german_document_passes_quality_gate(spark):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     kept = corpus_keep(df, min_words=20, max_punct_ratio=0.2, lang="de")
     assert kept.count() == 1
+
+
+def test_vertical_tab_tokenizes_identically_in_spark_and_duckdb(spark):
+    """Java regex \\s includes \\x0B (vertical tab); RE2's (DuckDB, the
+    oracle engine) does not — with \\s on both sides a VT in any
+    document silently diverges word counts, shingle sets, and norm keys
+    between engine and oracle. Both sides now use the explicit class
+    text.WS_CHARS; this pins the agreement ON a VT-bearing document."""
+    import duckdb
+
+    import __spark_entry__ as em
+    from tbbid_scrapy_spark.operators.dedup import normalize_text
+
+    text = "alpha\x0bbeta  gamma\tdelta"
+    df = spark.createDataFrame([(text,)], "text string")
+    spark_norm = df.select(normalize_text(F.col("text")).alias("n")).collect()[0].n
+    from tbbid_scrapy_spark.operators.text import WS_CLASS
+
+    spark_words = df.select(
+        F.size(F.split(F.trim(F.lower(F.col("text"))), f"{WS_CLASS}+")).alias("w")
+    ).collect()[0].w
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (text VARCHAR)")
+    con.execute("INSERT INTO t VALUES (?)", [text])
+    duck_norm = con.execute(
+        f"SELECT {em._NORM} FROM t".replace("lower(text)", "lower(text)")
+    ).fetchone()[0]
+    duck_words = con.execute(
+        f"SELECT len(regexp_split_to_array(trim(lower(text)), '{em._WS}+')) FROM t"
+    ).fetchone()[0]
+    assert spark_norm == duck_norm == "alpha beta gamma delta"
+    assert spark_words == duck_words == 4
