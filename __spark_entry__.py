@@ -476,6 +476,53 @@ def q_politeness_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# status palette for q_retry_settle: every branch of the settle state
+# machine — 200 (fetched), 404 (immediate fail), the full RETRYABLE set
+# (403/5xx/408/429 — retried until MAX_ATTEMPTS), and non-retryable
+# errors a real HttpTransport produces (401/405/410/451 → immediate
+# fail). The oracle hardcodes this list AND the reference retry policy
+# (RETRY_TIMES=3), so a drift in either breaks the hash match.
+_RETRY_STATUSES = [
+    200, 404, 403, 500, 502, 503, 504, 522, 524, 408, 429, 401, 405, 410, 451,
+]
+
+
+def q_retry_settle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 under the oracle gate: the frontier's retry/settle state
+    machine (plans/crawl.retry_settle_exprs — the EXACT production
+    expressions `_run_wave_body` applies) over a fetch-result table
+    derived deterministically from `orders`. Scrapy-parity semantics
+    (reference settings.py RETRY_TIMES=3, RETRY_HTTP_CODES): 404 and
+    non-retryable statuses fail immediately with attempts unchanged; a
+    retryable status increments attempts and fails once total fetches
+    reach 4 (first attempt + 3 retries), else re-enters pending.
+
+    fetch result: status = palette[o_orderkey mod 15] (all 15 branches),
+    attempts = o_custkey mod 5 (0..4 — includes the at/over-limit edge).
+    Output: counts per (last_status, state, attempts_after)."""
+    from tbbid_scrapy_spark.plans.crawl import retry_settle_exprs
+
+    o = _t(spark, sf_dir, "orders")
+    palette = F.array(*[F.lit(s) for s in _RETRY_STATUSES])
+    fetched = o.select(
+        F.element_at(
+            palette, (F.pmod(F.col("o_orderkey"), F.lit(15)) + 1).cast("int")
+        ).alias("status"),
+        F.pmod(F.col("o_custkey"), F.lit(5)).cast("int").alias("attempts"),
+    )
+    state_expr, attempts_expr = retry_settle_exprs()
+    return (
+        fetched.select(
+            F.col("status").alias("last_status"),
+            state_expr.alias("state"),
+            attempts_expr.alias("attempts_after"),
+        )
+        .groupBy("last_status", "state", "attempts_after")
+        .agg(F.count("*").alias("n"))
+        .orderBy("last_status", "state", "attempts_after")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators
 # ---------------------------------------------------------------------------
@@ -1044,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_merge": q_counter_merge,
         "frontier_rank": q_frontier_rank,
         "politeness_clock": q_politeness_clock,
+        "retry_settle": q_retry_settle,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1487,6 +1535,38 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM with_rules
             GROUP BY wave
             ORDER BY wave
+        """,
+        # mirror of q_retry_settle with the REFERENCE retry policy
+        # hardcoded (RETRY_TIMES=3 → 4 total fetches; RETRY_HTTP_CODES
+        # = 403/5xx/408/429): the engine side runs the production
+        # retry_settle_exprs, so a drift in crawl.RETRYABLE or
+        # MAX_ATTEMPTS breaks this match. Branch precedence mirrors
+        # Scrapy: 200, then 404, then any non-retryable, then the
+        # attempt-limit cut, else pending.
+        "retry_settle": """
+            WITH f AS (
+                SELECT ([200, 404, 403, 500, 502, 503, 504, 522, 524,
+                         408, 429, 401, 405, 410, 451]
+                        )[CAST(o_orderkey % 15 AS INT) + 1] AS status,
+                       CAST(o_custkey % 5 AS INT) AS attempts
+                FROM orders
+            )
+            SELECT status AS last_status,
+                   CASE WHEN status = 200 THEN 'fetched'
+                        WHEN status = 404 THEN 'failed'
+                        WHEN status NOT IN (403, 500, 502, 503, 504,
+                                            522, 524, 408, 429)
+                             THEN 'failed'
+                        WHEN attempts + 1 >= 4 THEN 'failed'
+                        ELSE 'pending' END AS state,
+                   CASE WHEN status IN (403, 500, 502, 503, 504,
+                                        522, 524, 408, 429)
+                        THEN attempts + 1 ELSE attempts
+                   END AS attempts_after,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM f
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
         """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count

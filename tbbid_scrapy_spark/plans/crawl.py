@@ -70,6 +70,45 @@ RETRY_LIMIT = 3
 MAX_ATTEMPTS = RETRY_LIMIT + 1
 RETRYABLE = [403, 500, 502, 503, 504, 522, 524, 408, 429]
 
+
+def retry_settle_exprs(
+    status=None, attempts=None
+) -> tuple["F.Column", "F.Column"]:
+    """Scrapy-parity settle expressions for a fetched batch: given a
+    row's fetch ``status`` and prior ``attempts`` count, return the
+    (state, attempts) Column pair the frontier state machine applies.
+
+    Precedence mirrors Scrapy's RetryMiddleware + HttpErrorMiddleware
+    composition (reference: tb_spider settings RETRY_TIMES=3 /
+    RETRY_HTTP_CODES): 200 settles ``fetched``; 404 and every other
+    NON-retryable status settle ``failed`` immediately (attempts
+    unchanged); a RETRYABLE status increments attempts and settles
+    ``failed`` once attempts+1 reaches MAX_ATTEMPTS (= first attempt +
+    RETRY_TIMES), else re-enters the frontier as ``pending``.
+
+    Exposed (rather than inlined in ``_run_wave_body``) so the driver's
+    DuckDB oracle gate can exercise the exact production expressions —
+    the oracle hardcodes the reference's retry policy, so a drift in
+    RETRYABLE / MAX_ATTEMPTS here breaks the rows+schema+hash match.
+    """
+    status = F.col("status") if status is None else status
+    attempts = F.col("attempts") if attempts is None else attempts
+    state = (
+        F.when(status == 200, "fetched")
+        .when(status == 404, "failed")
+        # any other NON-retryable status (401/405/410/451… from a real
+        # HttpTransport) fails permanently — without this branch such
+        # rows stayed 'pending' with attempts never incremented and
+        # were refetched every wave forever (the crawl never drained)
+        .when(~status.isin(RETRYABLE), "failed")
+        .when(attempts + 1 >= F.lit(MAX_ATTEMPTS), "failed")
+        .otherwise("pending")
+    )
+    attempts_after = F.when(
+        status.isin(RETRYABLE), attempts + 1
+    ).otherwise(attempts)
+    return state, attempts_after
+
 FETCH_LOG_SCHEMA = T.StructType(
     [
         T.StructField("wave", T.IntegerType(), False),
@@ -939,22 +978,11 @@ class CrawlEngine:
         # the (small) batch keys. No join ever sees settled history — this
         # is what makes wave cost O(live + batch), not O(everything ever).
         front_cols = st.pending.columns
+        state_expr, attempts_expr = retry_settle_exprs()
         batch_after = fetched.select(
             *[c for c in front_cols if c not in ("state", "attempts", "last_status")],
-            F.when(F.col("status") == 200, "fetched")
-            .when(F.col("status") == 404, "failed")
-            # any other NON-retryable status (401/405/410/451… from a real
-            # HttpTransport) fails permanently, mirroring scrapy's
-            # RETRY_HTTP_CODES semantics — without this branch such rows
-            # stayed 'pending' with attempts never incremented and were
-            # refetched every wave forever (the crawl never drained)
-            .when(~F.col("status").isin(RETRYABLE), "failed")
-            .when(F.col("attempts") + 1 >= F.lit(MAX_ATTEMPTS), "failed")
-            .otherwise("pending")
-            .alias("state"),
-            F.when(F.col("status").isin(RETRYABLE), F.col("attempts") + 1)
-            .otherwise(F.col("attempts"))
-            .alias("attempts"),
+            state_expr.alias("state"),
+            attempts_expr.alias("attempts"),
             F.col("status").alias("last_status"),
         ).select(*front_cols)
         done_add = batch_after.filter(F.col("state") != "pending")

@@ -212,3 +212,39 @@ def test_hybrid_canonicalizer_crawl_parity(
     st = eng.run()
     assert _engine_order(st) == sim.fetch_log
     assert {r.url_norm for r in st.seen.collect()} == sim.seen
+
+
+def test_retry_settle_exprs_literal_precedence(spark):
+    """Pin every branch of the settle state machine to literal outcomes
+    (Scrapy parity: RETRY_TIMES=3 → 4 total fetches; 404 and other
+    non-retryable statuses fail immediately with attempts UNCHANGED;
+    404 wins its dedicated branch before the generic non-retryable cut;
+    a retryable status at attempts=3 fails WITH the increment recorded)."""
+    from tbbid_scrapy_spark.plans.crawl import retry_settle_exprs
+
+    rows = [
+        (200, 2),   # success mid-retry-history
+        (404, 0),   # immediate fail, attempts untouched
+        (410, 1),   # non-retryable error → immediate fail, attempts untouched
+        (403, 0),   # retryable, budget left → back to pending, attempts+1
+        (503, 3),   # retryable at the limit: 3+1 >= 4 → failed, attempts=4
+        (429, 2),   # retryable, budget left → pending, attempts=3
+    ]
+    df = spark.createDataFrame(rows, "status int, attempts int")
+    state_expr, attempts_expr = retry_settle_exprs()
+    got = {
+        (r.status, r.attempts): (r.state, r.attempts_after)
+        for r in df.select(
+            "status", "attempts",
+            state_expr.alias("state"),
+            attempts_expr.alias("attempts_after"),
+        ).collect()
+    }
+    assert got == {
+        (200, 2): ("fetched", 2),
+        (404, 0): ("failed", 0),
+        (410, 1): ("failed", 1),
+        (403, 0): ("pending", 1),
+        (503, 3): ("failed", 4),
+        (429, 2): ("pending", 3),
+    }
