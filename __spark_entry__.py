@@ -523,6 +523,108 @@ def q_retry_settle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _candidate_spans(spark: SparkSession, sf_dir: str, marker: str,
+                     key_mod: int) -> DataFrame:
+    """Synthetic extracted-span table for the §2.9 parse-program gates,
+    derived deterministically from `lineitem` (1 order in `key_mod`
+    kept, 4 cells per line → multi-block docs). Cell text is numeric
+    when (orderkey+offset) % 3 == 0 so to_number/is_number exercise
+    both branches; offsets are unique per doc so the production
+    row_number-over-offset position assignment is a total order. The
+    derivation is mirrored verbatim in the DuckDB oracles."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.pmod(F.col("l_orderkey"), F.lit(key_mod)) == 0
+    )
+    key = F.col("l_orderkey")
+    spans = li.select(
+        key, F.col("l_linenumber"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("e"),
+    ).withColumn("offset", (F.col("l_linenumber") * 4 + F.col("e")).cast("int"))
+    off = F.col("offset")
+    return spans.select(
+        F.format_string(
+            "https://h%d.example.org" + marker + "%d",
+            F.pmod(key, F.lit(7)), key,
+        ).alias("doc_id"),
+        F.lit("table_cell").alias("kind"),
+        F.when(
+            F.pmod(key + off, F.lit(3)) == 0, (key + off).cast("string")
+        ).otherwise(
+            F.format_string("公司%d-%d", key, off)
+        ).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        off,
+    )
+
+
+def q_candidate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2+§2.9 under the oracle gate: the PRODUCTION candidates-page
+    parse program (plans/items.candidate_ranks — row_number position
+    assignment, 12-cell stride blocks, slots 0/3/6 → company/manager/
+    amount, rank literal 1, %03d section ids, bid_info.py:289-318) over
+    a span table derived deterministically from `lineitem`. The DuckDB
+    oracle re-derives the spans and mirrors the stride arithmetic with
+    a naive window query, so a drift in position assignment, block
+    math, slot selection, or the numeric parse breaks rows+schema+hash."""
+    from tbbid_scrapy_spark.plans.items import candidate_ranks
+
+    spans = _candidate_spans(spark, sf_dir, "/candidates/", 37)
+    return candidate_ranks(spans).orderBy("project_id", "section_id")
+
+
+def q_lot_ctl_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 under the oracle gate: the PRODUCTION header-position scan
+    (plans/items.lot_control_amounts — skip the 2-cell header, odd
+    cells of the pair area are the 控制价 column, first float-castable
+    value wins, bid_info.py:195-210) over spans derived from `lineitem`.
+    Docs whose amount column holds no numeric cell must drop out on
+    both sides; the first-numeric selection is non-trivial because
+    only every third cell text is numeric."""
+    from tbbid_scrapy_spark.plans.items import lot_control_amounts
+
+    spans = _candidate_spans(spark, sf_dir, "/bids/", 41)
+    return lot_control_amounts(spans).orderBy("project_id")
+
+
+def q_listing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2+P3 under the oracle gate: the PRODUCTION listing parse
+    (plans/items.listing_projects — /project/ link selection, 监理/
+    造价咨询 anti-keyword filter, 招标公告 suffix trim, and the
+    deterministic first-sighting dedup: min_by over the (doc_id,
+    offset) total order) over listing spans derived from `orders`.
+    Each /project/<pid> target is sighted ~30× across listing pages
+    with per-sighting distinct anchor text, so the kept title pins the
+    dedup's ordering semantics; relative hrefs exercise the
+    resolve-and-canonicalize path (urljoin against the listing URL)."""
+    from tbbid_scrapy_spark.plans.items import listing_projects
+
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    pid = F.pmod(key, F.lit(500))
+    base = F.format_string("项目%d号第%d次", pid, key)
+    text = (
+        F.when(F.pmod(key, F.lit(11)) == 0, F.concat(base, F.lit("监理")))
+        .when(F.pmod(key, F.lit(13)) == 0, F.concat(base, F.lit("造价咨询")))
+        .when(F.pmod(key, F.lit(3)) == 0, F.concat(base, F.lit("招标公告")))
+        .otherwise(base)
+    )
+    media_ref = F.when(
+        F.pmod(key, F.lit(17)) == 0,
+        F.concat(F.lit("/other/"), pid.cast("string")),
+    ).otherwise(F.concat(F.lit("/project/"), pid.cast("string")))
+    spans = o.select(
+        F.format_string(
+            "https://h%d.example.org/listing?page=%d",
+            F.pmod(key, F.lit(5)), F.pmod(key, F.lit(40)),
+        ).alias("doc_id"),
+        F.lit("link").alias("kind"),
+        text.alias("text"),
+        media_ref.alias("media_ref"),
+        key.cast("int").alias("offset"),
+    )
+    return listing_projects(spans).orderBy("stage_url")
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators
 # ---------------------------------------------------------------------------
@@ -1092,6 +1194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_rank": q_frontier_rank,
         "politeness_clock": q_politeness_clock,
         "retry_settle": q_retry_settle,
+        "candidate_blocks": q_candidate_blocks,
+        "lot_ctl_first": q_lot_ctl_first,
+        "listing_dedup": q_listing_dedup,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1567,6 +1672,131 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM f
             GROUP BY 1, 2, 3
             ORDER BY 1, 2, 3
+        """,
+        # mirror of q_candidate_blocks: span derivation re-stated, then
+        # the NAIVE stride-12 window query (the engine side runs the
+        # production candidate_ranks) — slots 0/3/6 per block, %03d
+        # section ids, rank literal 1, try_cast numeric parse
+        "candidate_blocks": """
+            WITH spans AS (
+                SELECT 'https://h' || CAST(l_orderkey % 7 AS VARCHAR)
+                         || '.example.org/candidates/'
+                         || CAST(l_orderkey AS VARCHAR) AS doc_id,
+                       l_orderkey,
+                       l_linenumber * 4 + ex.e AS off
+                FROM lineitem
+                CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS e) AS ex
+                WHERE l_orderkey % 37 = 0
+            ), cells AS (
+                SELECT doc_id,
+                       CASE WHEN (l_orderkey + off) % 3 = 0
+                            THEN CAST(l_orderkey + off AS VARCHAR)
+                            ELSE '公司' || CAST(l_orderkey AS VARCHAR)
+                                 || '-' || CAST(off AS VARCHAR) END AS text,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY off) - 1 AS pos
+                FROM spans
+            ), blocks AS (
+                SELECT doc_id, pos // 12 AS block,
+                       max(CASE WHEN pos % 12 = 0 THEN text END) AS bidder_name,
+                       max(CASE WHEN pos % 12 = 3 THEN text END) AS manager_name,
+                       max(CASE WHEN pos % 12 = 6 THEN text END) AS amount_raw
+                FROM cells
+                WHERE pos % 12 IN (0, 3, 6)
+                GROUP BY doc_id, pos // 12
+            )
+            SELECT regexp_extract(doc_id, '/candidates/([^/?#]+)', 1)
+                       AS project_id,
+                   printf('%03d', CAST(block + 1 AS INT)) AS section_id,
+                   bidder_name,
+                   CAST(1 AS INT) AS rank,
+                   manager_name,
+                   try_cast(amount_raw AS DOUBLE) AS win_amt
+            FROM blocks
+            ORDER BY project_id, section_id
+        """,
+        # mirror of q_lot_ctl_first: same span derivation shape (marker
+        # /bids/, 1-in-41 orders), then skip-2-header + odd-side column
+        # + first try_cast-able value per doc
+        "lot_ctl_first": """
+            WITH spans AS (
+                SELECT 'https://h' || CAST(l_orderkey % 7 AS VARCHAR)
+                         || '.example.org/bids/'
+                         || CAST(l_orderkey AS VARCHAR) AS doc_id,
+                       l_orderkey,
+                       l_linenumber * 4 + ex.e AS off
+                FROM lineitem
+                CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS e) AS ex
+                WHERE l_orderkey % 41 = 0
+            ), cells AS (
+                SELECT doc_id,
+                       CASE WHEN (l_orderkey + off) % 3 = 0
+                            THEN CAST(l_orderkey + off AS VARCHAR)
+                            ELSE '公司' || CAST(l_orderkey AS VARCHAR)
+                                 || '-' || CAST(off AS VARCHAR) END AS text,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY off) - 1 AS pos
+                FROM spans
+            ), amounts AS (
+                SELECT doc_id, text, pos FROM cells
+                WHERE pos >= 2 AND (pos - 2) % 2 = 1
+                      AND try_cast(text AS DOUBLE) IS NOT NULL
+            ), first_amt AS (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS rn
+                FROM amounts
+            )
+            SELECT regexp_extract(doc_id, '/bids/([^/?#]+)', 1) AS project_id,
+                   '001' AS section_id,
+                   try_cast(text AS DOUBLE) AS lot_ctl_amt
+            FROM first_amt WHERE rn = 1
+            ORDER BY project_id
+        """,
+        # mirror of q_listing_dedup: listing-span derivation re-stated,
+        # /project/ link selection, anti-keyword filter, suffix trim,
+        # first-sighting-by-(doc_id, offset) dedup as a naive window
+        # (the engine side runs the production listing_projects with
+        # its min_by-struct dedup and the urljoin/canonicalize UDF)
+        "listing_dedup": """
+            WITH spans AS (
+                SELECT 'https://h' || CAST(o_orderkey % 5 AS VARCHAR)
+                         || '.example.org/listing?page='
+                         || CAST(o_orderkey % 40 AS VARCHAR) AS doc_id,
+                       o_orderkey % 500 AS pid,
+                       o_orderkey AS off,
+                       o_orderkey AS key,
+                       CASE WHEN o_orderkey % 17 = 0
+                            THEN '/other/' ELSE '/project/' END AS refpath,
+                       '项目' || CAST(o_orderkey % 500 AS VARCHAR)
+                         || '号第' || CAST(o_orderkey AS VARCHAR) || '次' AS base
+                FROM orders
+            ), links AS (
+                SELECT doc_id, off, pid,
+                       CASE WHEN key % 11 = 0 THEN base || '监理'
+                            WHEN key % 13 = 0 THEN base || '造价咨询'
+                            WHEN key % 3 = 0 THEN base || '招标公告'
+                            ELSE base END AS text
+                FROM spans WHERE refpath = '/project/'
+            ), kept AS (
+                SELECT 'https://h' || CAST(pid % 5 AS VARCHAR)
+                         || '.example.org/project/'
+                         || CAST(pid AS VARCHAR) AS stage_url,
+                       CASE WHEN text LIKE '%招标公告'
+                            THEN substring(text, 1, length(text) - 4)
+                            ELSE text END AS title,
+                       doc_id, off
+                FROM links
+                WHERE text NOT LIKE '%监理%'
+                      AND text NOT LIKE '%造价咨询%'
+            ), ranked AS (
+                SELECT stage_url, title,
+                       row_number() OVER (PARTITION BY stage_url
+                                          ORDER BY doc_id, off) AS rn
+                FROM kept
+            )
+            SELECT stage_url, title FROM ranked WHERE rn = 1
+            ORDER BY stage_url
         """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
