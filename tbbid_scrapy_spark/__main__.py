@@ -38,6 +38,14 @@ def main(argv: list[str] | None = None) -> int:
     res.add_argument("--checkpoint", required=True)
     res.add_argument("--max-waves", type=int, default=100)
     res.add_argument("--cpus", type=int, default=None)
+    # the fixture site is rebuilt deterministically at resume, so these
+    # must match the original crawl's values or pending URLs point at
+    # pages the rebuilt site doesn't carry
+    res.add_argument("--seen-mode", default="hybrid",
+                     choices=["exact", "bloom", "hybrid", "cuckoo"])
+    res.add_argument("--listings", type=int, default=4)
+    res.add_argument("--projects", type=int, default=400)
+    res.add_argument("--budget", type=int, default=4)
 
     sub.add_parser("bench", help="run bench.py main")
 
@@ -85,14 +93,25 @@ def main(argv: list[str] | None = None) -> int:
         )
         st = eng.run()
     else:
-        site = sitegen.build_site(4, 400, seed=42)
+        site = sitegen.build_site(args.listings, args.projects, seed=42)
         site_df = spark.createDataFrame(sitegen.site_to_rows(site), site_schema)
-        pol = spark.createDataFrame(sitegen.default_politeness(), schemas.POLITENESS)
+        pol = spark.createDataFrame(
+            sitegen.default_politeness(args.budget, args.budget), schemas.POLITENESS
+        )
         rob = spark.createDataFrame(sitegen.default_robots(), schemas.ROBOTS)
+        from tbbid_scrapy_spark.operators.cuckoo import CuckooSpec
+
         spec = BloomSpec.for_capacity(10_000_000, 0.01, 64)
+        cuckoo = (
+            CuckooSpec.for_capacity(10_000_000, 64)
+            if args.seen_mode == "cuckoo"
+            else None
+        )
         eng = CrawlEngine(
             spark, site_df, sitegen.default_seeds(), pol, rob,
-            CrawlConfig(max_waves=args.max_waves, checkpoint_dir=args.checkpoint),
+            CrawlConfig(max_waves=args.max_waves, seen_mode=args.seen_mode,
+                        bloom_spec=spec, cuckoo_spec=cuckoo,
+                        checkpoint_dir=args.checkpoint),
         )
         st = eng.run(resume=True)
 
@@ -101,7 +120,11 @@ def main(argv: list[str] | None = None) -> int:
         "fetched": st.fetch_log.count(),
         "seen": st.seen.count(),
         "extracted_spans": st.extracted.count(),
+        # st.metrics is the THIS-process wave log (empty right after a
+        # resume that ran no waves); the durable per-(wave, partition,
+        # host) lineage lives in the metrics delta table
         "metrics": st.metrics,
+        "metric_rows_total": st.metrics_table.count(),
     }
     print(json.dumps(summary))
     return 0

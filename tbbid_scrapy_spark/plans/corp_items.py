@@ -242,8 +242,17 @@ def perf_detail_items(extracted: DataFrame) -> DataFrame:
 
 
 def security_rows(extracted: DataFrame) -> DataFrame:
-    """P8: cert contains B → 安全员B, C → 安全员C, else dropped."""
+    """P8: cert contains B → 安全员B, C → 安全员C, else dropped. Only
+    COMPLETE 7-cell groups produce rows (the twin iterates
+    range(len(cells) // 7), ref_items.py security_list branch) — a
+    trailing fragment on a truncated page carrying a name and a B/C
+    cert but no valid_date cell must not emit a phantom row, the same
+    guard employee_rows applies to its 7-span stride."""
     cells = _cells(extracted, "security_list")
+    n_cells = F.count("*").over(Window.partitionBy("doc_id"))
+    cells = cells.withColumn("_n", n_cells).filter(
+        F.col("pos") < (F.col("_n") / 7).cast("int") * 7
+    )
     rows = (
         cells.withColumn("row", (F.col("pos") / 7).cast("int"))
         .withColumn("slot", F.pmod(F.col("pos"), F.lit(7)))

@@ -163,8 +163,10 @@ def test_corp_edge_shapes_match_twin(spark):
     """Engine == twin on the latent page shapes the fixtures never emit:
     duplicate label cells (LAST wins), 资质条目 cells with no keyword
     (→ empty list, not NULL), duplicate 其他： (FIRST by offset), a
-    trailing partial 7-span employee group (dropped), and a NULL major
-    cell (→ [''])."""
+    trailing partial 7-span employee group (dropped), a NULL major
+    cell (→ ['']), and a trailing partial 7-cell security group whose
+    fragment carries a name AND a B-cert but no valid_date cell
+    (dropped — the twin iterates len(cells) // 7)."""
     from tbbid_scrapy_spark.fixtures import ref_items
     from tbbid_scrapy_spark.plans.corp_items import extract_corp_items
     from tbbid_scrapy_spark.plans.crawl import EXTRACTED_SCHEMA
@@ -172,6 +174,7 @@ def test_corp_edge_shapes_match_twin(spark):
     search_url = "https://corp.example.org/corp/search?name=%E7%94%B2"
     detail_url = "https://corp.example.org/corp/detail?corpcode=C9"
     emp_url = "https://corp.example.org/corp/emps?corpcode=C9"
+    sec_url = "https://corp.example.org/corp/security?corpcode=C9"
     site = {
         search_url: [
             ("table_cell", "甲公司", None, 0), ("table_cell", "x", None, 1),
@@ -194,6 +197,17 @@ def test_corp_edge_shapes_match_twin(spark):
             ("table_cell", None, None, 6),        # NULL major cell
             ("table_cell", "2", None, 7),          # trailing fragment…
             ("link", "赵六", "https://corp.example.org/persondetail?id=P10", 8),
+        ],
+        sec_url: [
+            ("table_cell", "1", None, 0), ("table_cell", "钱七", None, 1),
+            ("table_cell", "x", None, 2), ("table_cell", "y", None, 3),
+            ("table_cell", "B-001", None, 4), ("table_cell", "z", None, 5),
+            ("table_cell", "2031-01-01", None, 6),
+            # trailing 5-cell fragment: name + B cert present, NO
+            # valid_date cell — must emit nothing on both sides
+            ("table_cell", "2", None, 7), ("table_cell", "孙八", None, 8),
+            ("table_cell", "x", None, 9), ("table_cell", "y", None, 10),
+            ("table_cell", "B-002", None, 11),
         ],
     }
     expected = ref_items.expected_corp_items(site)
@@ -218,3 +232,10 @@ def test_corp_edge_shapes_match_twin(spark):
     for k in ("corp_code", "name", "cert_code", "role", "valid_date", "person_id"):
         assert g[k] == w[k], k
     assert list(g["major"]) == w["major"] == [""]               # null-safe split
+
+    sec = items["security"].collect()
+    assert len(sec) == len(expected["security"]) == 1           # fragment dropped
+    s, t = sec[0].asDict(), expected["security"][0]
+    for k in ("corp_code", "name", "cert_code", "role", "valid_date"):
+        assert s[k] == t[k], k
+    assert s["valid_date"] == "2031-01-01"
