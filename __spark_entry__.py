@@ -586,6 +586,27 @@ def q_lot_ctl_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lot_control_amounts(spans).orderBy("project_id")
 
 
+def q_dense_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier's global enqueue counter under the oracle gate: the
+    PRODUCTION two-pass distributed dense index (plans/seq.dense_index —
+    range repartition + per-partition offsets + monotonic-id low bits,
+    the window-free replacement for a single-task global row_number)
+    over `orders` ordered by (o_totalprice desc, o_orderkey). The DuckDB
+    oracle IS the naive global window, so any drift in the offset
+    arithmetic, partition accounting, or the claimed equivalence to
+    row_number breaks rows+schema+hash on all ~15k rows."""
+    from tbbid_scrapy_spark.plans.seq import dense_index
+
+    o = _t(spark, sf_dir, "orders")
+    out, _total, _handle = dense_index(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        "seq",
+        0,
+    )
+    return out.select("o_orderkey", "seq").orderBy("seq")
+
+
 def q_listing_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1+P2+P3 under the oracle gate: the PRODUCTION listing parse
     (plans/items.listing_projects — /project/ link selection, 监理/
@@ -1197,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_blocks": q_candidate_blocks,
         "lot_ctl_first": q_lot_ctl_first,
         "listing_dedup": q_listing_dedup,
+        "dense_seq": q_dense_seq,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1797,6 +1819,15 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT stage_url, title FROM ranked WHERE rn = 1
             ORDER BY stage_url
+        """,
+        # mirror of q_dense_seq: the engine runs the two-pass distributed
+        # dense index; the oracle is the naive single-task global window
+        # the production operator replaces
+        "dense_seq": """
+            SELECT o_orderkey,
+                   CAST(row_number() OVER (ORDER BY o_totalprice DESC,
+                                           o_orderkey) - 1 AS BIGINT) AS seq
+            FROM orders ORDER BY seq
         """,
         "dedup_exact": f"""
             SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
