@@ -586,6 +586,101 @@ def q_lot_ctl_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lot_control_amounts(spans).orderBy("project_id")
 
 
+def q_employee_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 emp_list parse under the oracle gate: the PRODUCTION
+    employee_rows (plans/corp_items — pagination-link exclusion, dense
+    re-position, complete-7-span-group guard, slot 1/2/3/5/6 extraction,
+    whitespace-name drop, null-safe 、-split, person_id from the slot-1
+    link) over spans derived from `lineitem`. The span mix interleaves
+    table_cells with links (some of them pageIndex pagination links that
+    must be excluded BEFORE positions are assigned), so a drift in the
+    filter-then-position order shifts every slot and breaks the hash.
+    `major` is emitted as (size, joined) scalars — same information,
+    no cross-engine array-repr dependence."""
+    from tbbid_scrapy_spark.plans.corp_items import employee_rows
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.pmod(F.col("l_orderkey"), F.lit(43)) == 0
+    )
+    key = F.col("l_orderkey")
+    spans = li.select(
+        key, F.col("l_linenumber"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("e"),
+    ).withColumn("offset", (F.col("l_linenumber") * 4 + F.col("e")).cast("int"))
+    off = F.col("offset")
+    is_link = F.pmod(off, F.lit(3)) == 0
+    media = F.when(
+        is_link & (F.pmod(off, F.lit(9)) == 0),
+        F.format_string(
+            "https://corp.example.org/corp/emps?corpcode=C%d&pageIndex=2", key
+        ),
+    ).when(
+        is_link,
+        F.format_string(
+            "https://corp.example.org/persondetail?id=P%d-%d", key, off
+        ),
+    )
+    text = F.when(F.pmod(off, F.lit(13)) == 0, F.lit(" ")).otherwise(
+        F.format_string("员%d-%d、备%d", key, off, F.pmod(off, F.lit(5)))
+    )
+    spans = spans.select(
+        F.format_string(
+            "https://h%d.example.org/corp/emps?corpcode=C%d",
+            F.pmod(key, F.lit(7)), key,
+        ).alias("doc_id"),
+        F.when(is_link, F.lit("link")).otherwise(F.lit("table_cell")).alias("kind"),
+        text.alias("text"),
+        media.alias("media_ref"),
+        off,
+    )
+    out = employee_rows(spans)
+    return out.select(
+        "corp_code", "name", "cert_code", "role", "valid_date",
+        F.size("major").alias("major_n"),
+        F.array_join("major", "|").alias("major_joined"),
+        "person_id",
+    ).orderBy("corp_code", "name")
+
+
+def q_security_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 under the oracle gate: the PRODUCTION security_rows
+    (plans/corp_items — complete-7-cell-group guard, slot 1/4/6
+    extraction, cert B→安全员B / C→安全员C / else-drop classification,
+    whitespace-name drop) over spans derived from `lineitem`. Cert text
+    cycles B/C/X forms so all three classification branches carry rows;
+    truncated trailing groups must emit nothing on both sides (the
+    guard this round's review added)."""
+    from tbbid_scrapy_spark.plans.corp_items import security_rows
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.pmod(F.col("l_orderkey"), F.lit(47)) == 0
+    )
+    key = F.col("l_orderkey")
+    spans = li.select(
+        key, F.col("l_linenumber"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("e"),
+    ).withColumn("offset", (F.col("l_linenumber") * 4 + F.col("e")).cast("int"))
+    off = F.col("offset")
+    m4 = F.pmod(key + off, F.lit(4))
+    text = F.when(F.pmod(off, F.lit(13)) == 0, F.lit("")).otherwise(
+        F.when(m4 == 0, F.format_string("B-%d", off))
+        .when(m4 == 1, F.format_string("C-%d", off))
+        .when(m4 == 2, F.format_string("X-%d", off))
+        .otherwise(F.format_string("安%d-%d", key, off))
+    )
+    spans = spans.select(
+        F.format_string(
+            "https://h%d.example.org/corp/security?corpcode=C%d",
+            F.pmod(key, F.lit(7)), key,
+        ).alias("doc_id"),
+        F.lit("table_cell").alias("kind"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        off,
+    )
+    return security_rows(spans).orderBy("corp_code", "name", "cert_code")
+
+
 def q_dense_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The frontier's global enqueue counter under the oracle gate: the
     PRODUCTION two-pass distributed dense index (plans/seq.dense_index —
@@ -1218,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_blocks": q_candidate_blocks,
         "lot_ctl_first": q_lot_ctl_first,
         "listing_dedup": q_listing_dedup,
+        "employee_stride": q_employee_stride,
+        "security_stride": q_security_stride,
         "dense_seq": q_dense_seq,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1819,6 +1916,122 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT stage_url, title FROM ranked WHERE rn = 1
             ORDER BY stage_url
+        """,
+        # mirror of q_employee_stride: span derivation re-stated, then the
+        # naive filter → window-position → complete-group → stride query
+        # (the engine side runs the production employee_rows)
+        "employee_stride": """
+            WITH spans AS (
+                SELECT 'https://h' || CAST(l_orderkey % 7 AS VARCHAR)
+                         || '.example.org/corp/emps?corpcode=C'
+                         || CAST(l_orderkey AS VARCHAR) AS doc_id,
+                       l_orderkey AS key,
+                       l_linenumber * 4 + ex.e AS off
+                FROM lineitem
+                CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS e) AS ex
+                WHERE l_orderkey % 43 = 0
+            ), typed AS (
+                SELECT doc_id, key, off,
+                       CASE WHEN off % 3 = 0 THEN 'link'
+                            ELSE 'table_cell' END AS kind,
+                       CASE WHEN off % 3 = 0 AND off % 9 = 0
+                            THEN 'https://corp.example.org/corp/emps?corpcode=C'
+                                 || CAST(key AS VARCHAR) || '&pageIndex=2'
+                            WHEN off % 3 = 0
+                            THEN 'https://corp.example.org/persondetail?id=P'
+                                 || CAST(key AS VARCHAR) || '-'
+                                 || CAST(off AS VARCHAR)
+                       END AS media_ref,
+                       CASE WHEN off % 13 = 0 THEN ' '
+                            ELSE '员' || CAST(key AS VARCHAR) || '-'
+                                 || CAST(off AS VARCHAR) || '、备'
+                                 || CAST(off % 5 AS VARCHAR) END AS text
+                FROM spans
+            ), kept AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY off) - 1 AS pos,
+                       count(*) OVER (PARTITION BY doc_id) AS n
+                FROM typed
+                WHERE kind = 'table_cell'
+                      OR (kind = 'link'
+                          AND media_ref NOT LIKE '%pageIndex=%')
+            ), complete AS (
+                SELECT * FROM kept WHERE pos < (n // 7) * 7
+            ), rows_g AS (
+                SELECT doc_id, pos // 7 AS r,
+                       max(CASE WHEN pos % 7 = 1 THEN text END) AS name,
+                       max(CASE WHEN pos % 7 = 1 THEN media_ref END)
+                           AS person_url,
+                       max(CASE WHEN pos % 7 = 2 THEN text END) AS cert_code,
+                       max(CASE WHEN pos % 7 = 3 THEN text END) AS role,
+                       max(CASE WHEN pos % 7 = 5 THEN text END) AS valid_date,
+                       max(CASE WHEN pos % 7 = 6 THEN text END) AS major_raw
+                FROM complete GROUP BY doc_id, pos // 7
+            )
+            SELECT regexp_extract(doc_id, 'corpcode=([^&#]+)', 1) AS corp_code,
+                   trim(name) AS name, cert_code, role, valid_date,
+                   len(string_split(trim(coalesce(major_raw, '')), '、'))
+                       AS major_n,
+                   array_to_string(
+                       string_split(trim(coalesce(major_raw, '')), '、'), '|')
+                       AS major_joined,
+                   regexp_extract(person_url, 'id=([^&#]+)', 1) AS person_id
+            FROM rows_g
+            WHERE name IS NOT NULL AND trim(name) != ''
+            ORDER BY corp_code, name
+        """,
+        # mirror of q_security_stride: same shape (marker /corp/security,
+        # 1-in-47 orders, all table_cells, B/C/X/name text cycle) with the
+        # complete-group guard and the B-before-C classification
+        "security_stride": """
+            WITH spans AS (
+                SELECT 'https://h' || CAST(l_orderkey % 7 AS VARCHAR)
+                         || '.example.org/corp/security?corpcode=C'
+                         || CAST(l_orderkey AS VARCHAR) AS doc_id,
+                       l_orderkey AS key,
+                       l_linenumber * 4 + ex.e AS off
+                FROM lineitem
+                CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS e) AS ex
+                WHERE l_orderkey % 47 = 0
+            ), typed AS (
+                SELECT doc_id, off,
+                       CASE WHEN off % 13 = 0 THEN ''
+                            WHEN (key + off) % 4 = 0
+                                THEN 'B-' || CAST(off AS VARCHAR)
+                            WHEN (key + off) % 4 = 1
+                                THEN 'C-' || CAST(off AS VARCHAR)
+                            WHEN (key + off) % 4 = 2
+                                THEN 'X-' || CAST(off AS VARCHAR)
+                            ELSE '安' || CAST(key AS VARCHAR) || '-'
+                                 || CAST(off AS VARCHAR)
+                       END AS text
+                FROM spans
+            ), pos_t AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY off) - 1 AS pos,
+                       count(*) OVER (PARTITION BY doc_id) AS n
+                FROM typed
+            ), complete AS (
+                SELECT * FROM pos_t WHERE pos < (n // 7) * 7
+            ), rows_g AS (
+                SELECT doc_id, pos // 7 AS r,
+                       max(CASE WHEN pos % 7 = 1 THEN text END) AS name,
+                       max(CASE WHEN pos % 7 = 4 THEN text END) AS cert_code,
+                       max(CASE WHEN pos % 7 = 6 THEN text END) AS valid_date
+                FROM complete GROUP BY doc_id, pos // 7
+            )
+            SELECT regexp_extract(doc_id, 'corpcode=([^&#]+)', 1) AS corp_code,
+                   trim(name) AS name, cert_code,
+                   CASE WHEN cert_code LIKE '%B%' THEN '安全员B'
+                        WHEN cert_code LIKE '%C%' THEN '安全员C' END AS role,
+                   valid_date
+            FROM rows_g
+            WHERE name IS NOT NULL AND trim(name) != ''
+                  AND cert_code IS NOT NULL
+                  AND (cert_code LIKE '%B%' OR cert_code LIKE '%C%')
+            ORDER BY corp_code, name, cert_code
         """,
         # mirror of q_dense_seq: the engine runs the two-pass distributed
         # dense index; the oracle is the naive single-task global window
