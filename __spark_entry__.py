@@ -586,6 +586,53 @@ def q_lot_ctl_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lot_control_amounts(spans).orderBy("project_id")
 
 
+def q_section_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 section auto-create under the oracle gate: the PRODUCTION
+    derive_sections (plans/relational — bid-count roll-up, double
+    full-outer combine of bid/control-price/rank evidence on
+    (project_id, section_id), rank==1 filter, W3 winning→status
+    mapping) over evidence frames derived from `lineitem` with
+    DIFFERENT moduli per source (29/31/37), so bid-only, ctl-only and
+    rank-only sections all exist and every outer-join branch carries
+    rows. The rank input includes rank=2 rows the production filter
+    must drop; the DuckDB oracle models only rank 1."""
+    from tbbid_scrapy_spark.plans.relational import derive_sections
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey")
+    pid = key.cast("string")
+    bids = li.filter(F.pmod(key, F.lit(29)) == 0).select(
+        pid.alias("project_id"),
+        F.format_string("%03d", F.pmod(F.col("l_linenumber"), F.lit(3)) + 1)
+        .alias("section_id"),
+        F.concat(F.lit("公司"), F.pmod(F.col("l_partkey"), F.lit(100))
+                 .cast("string")).alias("bidder_name"),
+        F.lit(None).cast("double").alias("bid_amount"),
+    )
+    lot = li.filter(
+        (F.pmod(key, F.lit(31)) == 0) & (F.col("l_linenumber") == 1)
+    ).select(
+        pid.alias("project_id"),
+        F.format_string("%03d", F.pmod(key, F.lit(3)) + 1).alias("section_id"),
+        (F.pmod(key, F.lit(1000)).cast("double") + 0.5).alias("lot_ctl_amt"),
+    )
+    ranks = li.filter(
+        (F.pmod(key, F.lit(37)) == 0) & (F.col("l_linenumber") <= 2)
+    ).select(
+        pid.alias("project_id"),
+        F.format_string("%03d", F.col("l_linenumber")).alias("section_id"),
+        F.concat(F.lit("公司"), F.pmod(F.col("l_suppkey"), F.lit(100))
+                 .cast("string")).alias("bidder_name"),
+        F.col("l_linenumber").alias("rank"),
+        F.pmod(key, F.lit(500)).cast("double").alias("win_amt"),
+    )
+    out = derive_sections({"bid": bids, "lot_ctl": lot, "bid_rank": ranks})
+    return out.select(
+        "project_id", "section_id", "bid_size", "lot_ctl_amt",
+        "winning_bidder", "winning_amount", "status",
+    ).orderBy("project_id", "section_id")
+
+
 def q_employee_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 emp_list parse under the oracle gate: the PRODUCTION
     employee_rows (plans/corp_items — pagination-link exclusion, dense
@@ -1313,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_blocks": q_candidate_blocks,
         "lot_ctl_first": q_lot_ctl_first,
         "listing_dedup": q_listing_dedup,
+        "section_rollup": q_section_rollup,
         "employee_stride": q_employee_stride,
         "security_stride": q_security_stride,
         "dense_seq": q_dense_seq,
@@ -1916,6 +1964,44 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT stage_url, title FROM ranked WHERE rn = 1
             ORDER BY stage_url
+        """,
+        # mirror of q_section_rollup: evidence derivation re-stated, then
+        # the naive double FULL OUTER JOIN + CASE status (the engine side
+        # runs the production derive_sections; the oracle models only
+        # rank 1 — the production rank==1 filter must drop the rank-2
+        # input rows for the match to hold)
+        "section_rollup": """
+            WITH bids AS (
+                SELECT CAST(l_orderkey AS VARCHAR) AS project_id,
+                       printf('%03d', CAST(l_linenumber % 3 + 1 AS INT))
+                           AS section_id
+                FROM lineitem WHERE l_orderkey % 29 = 0
+            ), from_bids AS (
+                SELECT project_id, section_id, count(*) AS bid_size
+                FROM bids GROUP BY 1, 2
+            ), ctl AS (
+                SELECT CAST(l_orderkey AS VARCHAR) AS project_id,
+                       printf('%03d', CAST(l_orderkey % 3 + 1 AS INT))
+                           AS section_id,
+                       CAST(l_orderkey % 1000 AS DOUBLE) + 0.5 AS lot_ctl_amt
+                FROM lineitem WHERE l_orderkey % 31 = 0 AND l_linenumber = 1
+            ), ranks AS (
+                SELECT CAST(l_orderkey AS VARCHAR) AS project_id,
+                       printf('%03d', CAST(l_linenumber AS INT)) AS section_id,
+                       '公司' || CAST(l_suppkey % 100 AS VARCHAR)
+                           AS winning_bidder,
+                       CAST(l_orderkey % 500 AS DOUBLE) AS winning_amount
+                FROM lineitem WHERE l_orderkey % 37 = 0 AND l_linenumber = 1
+            ), combined AS (
+                SELECT * FROM from_bids
+                FULL OUTER JOIN ctl USING (project_id, section_id)
+                FULL OUTER JOIN ranks USING (project_id, section_id)
+            )
+            SELECT project_id, section_id, bid_size, lot_ctl_amt,
+                   winning_bidder, winning_amount,
+                   CASE WHEN winning_bidder IS NOT NULL THEN 'completed'
+                        ELSE 'pending' END AS status
+            FROM combined ORDER BY project_id, section_id
         """,
         # mirror of q_employee_stride: span derivation re-stated, then the
         # naive filter → window-position → complete-group → stride query
