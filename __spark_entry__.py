@@ -586,6 +586,67 @@ def q_lot_ctl_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lot_control_amounts(spans).orderBy("project_id")
 
 
+def q_notice_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5-F9 under the oracle gate: the PRODUCTION notice analysis
+    (functions/html.analyse_notice_cols — Arrow-batched <script> strip
+    followed by the funding / duration / qualification / profession
+    Catalyst regexes) over HTML bodies synthesized deterministically
+    from `orders`. The script fragment carries a DECOY 资金来源 before
+    the real one, so the strip is load-bearing (an unstripped body
+    extracts the decoy and breaks the hash); every extractor exercises
+    its match, no-match, paren-strip and multi-match branches. The
+    DuckDB oracle re-derives the bodies and mirrors the regexes in RE2
+    (no \\x0B in the fixture, so Java-\\s ≡ RE2-\\s here); comparing
+    notice_content pins the strip byte-for-byte cross-engine."""
+    from tbbid_scrapy_spark.functions.html import analyse_notice_cols
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.pmod(F.col("o_orderkey"), F.lit(23)) == 0
+    )
+    key = F.col("o_orderkey")
+    frag_script = F.lit(
+        '<script type="text/JavaScript">var x="资金来源：假的数据";</script>'
+    )
+    m4, m3, m5, m2 = (F.pmod(key, F.lit(n)) for n in (4, 3, 5, 2))
+    frag_funding = (
+        F.when(m4 == 0, F.lit("<p>资金来源：政府投资。</p>"))
+        .when(m4 == 1, F.lit("<p>资金来自：企业自筹（详见附件）拨款，备注</p>"))
+        .when(m4 == 2, F.lit(""))
+        .otherwise(F.lit("<p>资金来源： 自筹</p>"))
+    )
+    frag_duration = (
+        F.when(m3 == 0, F.lit("<p>计划工期：154日。</p>"))
+        .when(m3 == 1, F.lit("<p>工期：一百二十天（120日）竣工</p>"))
+        .otherwise(F.lit(""))
+    )
+    frag_qual = (
+        F.when(
+            m5 == 0,
+            F.lit("<p>资质要求：房屋建筑工程施工总承包壹级，"
+                  "市政公用工程施工总承包三级。</p>"),
+        )
+        .when(m5 == 1, F.lit("<p>资质：公路工程施工总承包特级。</p>"))
+        .otherwise(F.lit(""))
+    )
+    frag_prof = (
+        F.when(m2 == 0, F.lit("<p>项目负责人须一级建造师执业。</p>"))
+        .otherwise(F.lit("<p>须持有建造师证书。</p>"))
+    )
+    body = F.concat(
+        F.lit("<html><body>"), frag_script, frag_funding, frag_duration,
+        frag_qual, frag_prof, F.lit("</body></html>"),
+    )
+    cols = analyse_notice_cols(body)
+    return o.select(
+        key.alias("k"),
+        cols["notice_content"].alias("notice_content"),
+        cols["construction_funds"].alias("construction_funds"),
+        cols["project_duration"].alias("project_duration"),
+        F.array_join(cols["company_req"], ",").alias("company_req"),
+        cols["person_req"].alias("person_req"),
+    ).orderBy("k")
+
+
 def q_section_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 section auto-create under the oracle gate: the PRODUCTION
     derive_sections (plans/relational — bid-count roll-up, double
@@ -1360,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_blocks": q_candidate_blocks,
         "lot_ctl_first": q_lot_ctl_first,
         "listing_dedup": q_listing_dedup,
+        "notice_fields": q_notice_fields,
         "section_rollup": q_section_rollup,
         "employee_stride": q_employee_stride,
         "security_stride": q_security_stride,
@@ -1396,6 +1458,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # keys between engine and oracle. Importing the SAME constant keeps the
 # two sides in lockstep by construction.
 from tbbid_scrapy_spark.operators.text import WS_CHARS as _WS_IN
+
+# Notice-field regexes imported from the engine (functions/extract.py) so
+# the oracle cannot drift from the production patterns; they are valid in
+# both Java regex and RE2 (no \x0B in the fixture bodies, so the \s
+# difference is inert). The script-strip pattern mirrors functions/html.py.
+from tbbid_scrapy_spark.functions.extract import (
+    DURATION_PATTERN as _DUR_PAT,
+    FUNDING_PAREN_STRIP as _FUND_PAREN,
+    FUNDING_PATTERN as _FUND_PAT,
+    PROFESSION_PATTERN as _PROF_PAT,
+    QUALIFICATION_GROUP_PATTERN as _QUAL_PAT,
+)
+
+_SCRIPT_PAT = r"<script\b[^>]*>.*?</script\s*>"
 
 _WS = f"[{_WS_IN}]"
 _NORM = f"trim(regexp_replace(lower(text), '{_WS}+', ' ', 'g'))"
@@ -1964,6 +2040,52 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT stage_url, title FROM ranked WHERE rn = 1
             ORDER BY stage_url
+        """,
+        # mirror of q_notice_fields: body derivation re-stated, then the
+        # script strip + the ENGINE'S OWN regex constants (imported, not
+        # retyped) applied via RE2 — notice_content compares the stripped
+        # HTML byte-for-byte across engines
+        "notice_fields": f"""
+            WITH bodies AS (
+                SELECT o_orderkey AS k,
+                       '<html><body>'
+                       || '<script type="text/JavaScript">var x="资金来源：假的数据";</script>'
+                       || CASE CAST(o_orderkey % 4 AS INT)
+                          WHEN 0 THEN '<p>资金来源：政府投资。</p>'
+                          WHEN 1 THEN '<p>资金来自：企业自筹（详见附件）拨款，备注</p>'
+                          WHEN 2 THEN ''
+                          ELSE '<p>资金来源： 自筹</p>' END
+                       || CASE CAST(o_orderkey % 3 AS INT)
+                          WHEN 0 THEN '<p>计划工期：154日。</p>'
+                          WHEN 1 THEN '<p>工期：一百二十天（120日）竣工</p>'
+                          ELSE '' END
+                       || CASE CAST(o_orderkey % 5 AS INT)
+                          WHEN 0 THEN '<p>资质要求：房屋建筑工程施工总承包壹级，市政公用工程施工总承包三级。</p>'
+                          WHEN 1 THEN '<p>资质：公路工程施工总承包特级。</p>'
+                          ELSE '' END
+                       || CASE CAST(o_orderkey % 2 AS INT)
+                          WHEN 0 THEN '<p>项目负责人须一级建造师执业。</p>'
+                          ELSE '<p>须持有建造师证书。</p>' END
+                       || '</body></html>' AS html
+                FROM orders WHERE o_orderkey % 23 = 0
+            ), stripped AS (
+                SELECT k,
+                       regexp_replace(html, '{_SCRIPT_PAT}', '', 'isg')
+                           AS notice_content
+                FROM bodies
+            )
+            SELECT k, notice_content,
+                   trim(regexp_replace(
+                       regexp_extract(notice_content, '{_FUND_PAT}', 1),
+                       '{_FUND_PAREN}', '', 'g')) AS construction_funds,
+                   regexp_extract(notice_content, '{_DUR_PAT}', 1)
+                       AS project_duration,
+                   coalesce(array_to_string(
+                       regexp_extract_all(notice_content, '{_QUAL_PAT}', 1),
+                       ','), '') AS company_req,
+                   regexp_extract(notice_content, '{_PROF_PAT}', 1)
+                       AS person_req
+            FROM stripped ORDER BY k
         """,
         # mirror of q_section_rollup: evidence derivation re-stated, then
         # the naive double FULL OUTER JOIN + CASE status (the engine side
