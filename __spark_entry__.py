@@ -586,6 +586,49 @@ def q_lot_ctl_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lot_control_amounts(spans).orderBy("project_id")
 
 
+def q_stage_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stage parse + F12 under the oracle gate: the PRODUCTION
+    stage_project_ids (plans/items — 项目编号 cell selection, min_by
+    offset when a page carries several, split-on-'：' index 1) over
+    spans derived from `orders`. One doc in three has NO 编号 cell at
+    offset 0 but TWO at offsets 1/2 (min_by must pick offset 1, and
+    the absent-at-0 branch pins that the pick is by offset, not by
+    value); one doc in seven embeds a second '：' in the value (the
+    split must keep only segment [1])."""
+    from tbbid_scrapy_spark.plans.items import stage_project_ids
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.pmod(F.col("o_orderkey"), F.lit(19)) == 0
+    )
+    key = F.col("o_orderkey")
+    spans = o.select(key, F.explode(F.sequence(F.lit(0), F.lit(2))).alias("e"))
+    off = F.col("e")
+    tag = F.when(
+        F.pmod(key, F.lit(7)) == 0,
+        F.concat(F.lit("项目编号：XZ"), key.cast("string"), F.lit("：分段")),
+    ).otherwise(F.concat(F.lit("项目编号：XZ"), key.cast("string")))
+    text = (
+        F.when((off == 0) & (F.pmod(key, F.lit(3)) != 0), tag)
+        .when(off == 0, F.lit("其他：x"))
+        .when((off == 1) & (F.pmod(key, F.lit(3)) == 0),
+              F.concat(F.lit("项目编号：DUPA"), key.cast("string")))
+        .when(off == 1, F.lit("备注：y"))
+        .when((off == 2) & (F.pmod(key, F.lit(3)) == 0),
+              F.concat(F.lit("项目编号：DUPB"), key.cast("string")))
+        .otherwise(F.lit("备注2"))
+    )
+    spans = spans.select(
+        F.format_string(
+            "https://h%d.example.org/project/P%d", F.pmod(key, F.lit(7)), key
+        ).alias("doc_id"),
+        F.lit("table_cell").alias("kind"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        off.cast("int").alias("offset"),
+    )
+    return stage_project_ids(spans).orderBy("stage_url")
+
+
 def q_notice_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5-F9 under the oracle gate: the PRODUCTION notice analysis
     (functions/html.analyse_notice_cols — Arrow-batched <script> strip
@@ -1421,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_blocks": q_candidate_blocks,
         "lot_ctl_first": q_lot_ctl_first,
         "listing_dedup": q_listing_dedup,
+        "stage_ids": q_stage_ids,
         "notice_fields": q_notice_fields,
         "section_rollup": q_section_rollup,
         "employee_stride": q_employee_stride,
@@ -2040,6 +2084,45 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT stage_url, title FROM ranked WHERE rn = 1
             ORDER BY stage_url
+        """,
+        # mirror of q_stage_ids: span derivation re-stated, then the
+        # naive label filter + first-by-offset window + 1-based split
+        # index (the engine runs the production stage_project_ids)
+        "stage_ids": """
+            WITH spans AS (
+                SELECT 'https://h' || CAST(o_orderkey % 7 AS VARCHAR)
+                         || '.example.org/project/P'
+                         || CAST(o_orderkey AS VARCHAR) AS doc_id,
+                       o_orderkey AS key, ex.e AS off
+                FROM orders
+                CROSS JOIN (SELECT unnest([0, 1, 2]) AS e) AS ex
+                WHERE o_orderkey % 19 = 0
+            ), cells AS (
+                SELECT doc_id, off,
+                       CASE WHEN off = 0 AND key % 3 != 0 THEN
+                                '项目编号：XZ' || CAST(key AS VARCHAR)
+                                || CASE WHEN key % 7 = 0
+                                        THEN '：分段' ELSE '' END
+                            WHEN off = 0 THEN '其他：x'
+                            WHEN off = 1 AND key % 3 = 0 THEN
+                                '项目编号：DUPA' || CAST(key AS VARCHAR)
+                            WHEN off = 1 THEN '备注：y'
+                            WHEN off = 2 AND key % 3 = 0 THEN
+                                '项目编号：DUPB' || CAST(key AS VARCHAR)
+                            ELSE '备注2' END AS text
+                FROM spans
+            ), labeled AS (
+                SELECT doc_id, off, text FROM cells
+                WHERE text LIKE '项目编号：%'
+            ), first_l AS (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY off) AS rn
+                FROM labeled
+            )
+            SELECT doc_id AS stage_url,
+                   string_split(text, '：')[2] AS project_id
+            FROM first_l WHERE rn = 1 ORDER BY stage_url
         """,
         # mirror of q_notice_fields: body derivation re-stated, then the
         # script strip + the ENGINE'S OWN regex constants (imported, not
