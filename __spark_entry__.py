@@ -586,6 +586,78 @@ def q_lot_ctl_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lot_control_amounts(spans).orderBy("project_id")
 
 
+def q_bid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 bids-page parse under the oracle gate: the PRODUCTION
+    bid_items (plans/items — skip the 2-cell header, (bidder, amount)
+    cell pairing by (pos-2)//2 / (pos-2)%2, numeric parse with NULL on
+    malformed amounts, bid_pos carried) over the same derived span
+    shape as the candidates gate (marker /bids/, 1-in-53 orders)."""
+    from tbbid_scrapy_spark.plans.items import bid_items
+
+    spans = _candidate_spans(spark, sf_dir, "/bids/", 53)
+    return bid_items(spans).orderBy("project_id", "bid_pos")
+
+
+def q_corp_detail_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 corp-detail parse under the oracle gate: the PRODUCTION
+    corp_detail_items (plans/corp_items — label-sibling extraction with
+    LAST-occurrence-wins on duplicate labels, 资质条目 keyword filter +
+    distinct + sort, 其他 FIRST-by-offset, absent labels → NULL, corp
+    code from the url query param) over a fixed 10-cell layout derived
+    from `orders`: one doc in three repeats the 法人姓名 label (the
+    second value must win), one in two adds a keyword-bearing
+    qualification cell (the non-keyword 劳务分包 cell must be
+    filtered), one in five adds a second 其他 cell (the first must
+    win), and 经营地址/报送有效期 are absent everywhere (NULL path).
+    Qualifications are emitted as (size, joined) scalars."""
+    from tbbid_scrapy_spark.plans.corp_items import corp_detail_items
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.pmod(F.col("o_orderkey"), F.lit(21)) == 0
+    )
+    key = F.col("o_orderkey")
+    spans = o.select(key, F.explode(F.sequence(F.lit(0), F.lit(9))).alias("e"))
+    off = F.col("e")
+    ks = key.cast("string")
+    text = (
+        F.when(off == 0, F.lit("法人姓名"))
+        .when(off == 1, F.concat(F.lit("P"), ks))
+        .when(off == 2,
+              F.when(F.pmod(key, F.lit(3)) == 0, F.lit("法人姓名"))
+              .otherwise(F.lit("备注")))
+        .when(off == 3,
+              F.when(F.pmod(key, F.lit(3)) == 0, F.concat(F.lit("Q"), ks))
+              .otherwise(F.lit("x")))
+        .when(off == 4, F.lit("注册资本"))
+        .when(off == 5, F.concat(ks, F.lit("万")))
+        .when(off == 6,
+              F.when(F.pmod(key, F.lit(2)) == 0,
+                     F.lit("资质条目：市政公用工程施工总承包贰级"))
+              .otherwise(F.lit("资质条目：劳务分包")))
+        .when(off == 7, F.lit("资质条目：房屋工程施工"))
+        .when(off == 8, F.concat(F.lit("其他：甲"), ks))
+        .otherwise(
+            F.when(F.pmod(key, F.lit(5)) == 0, F.concat(F.lit("其他：乙"), ks))
+            .otherwise(F.lit("备注2")))
+    )
+    spans = spans.select(
+        F.format_string(
+            "https://corp.example.org/corp/detail?corpcode=C%d", key
+        ).alias("doc_id"),
+        F.lit("table_cell").alias("kind"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        off.cast("int").alias("offset"),
+    )
+    out = corp_detail_items(spans)
+    return out.select(
+        "corp_code", "corp", "corp_asset", "reg_address", "valid_date",
+        F.size("qualifications").alias("qual_n"),
+        F.array_join("qualifications", "|").alias("qual_joined"),
+        "others",
+    ).orderBy("corp_code")
+
+
 def q_stage_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 stage parse + F12 under the oracle gate: the PRODUCTION
     stage_project_ids (plans/items — 项目编号 cell selection, min_by
@@ -1464,6 +1536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_blocks": q_candidate_blocks,
         "lot_ctl_first": q_lot_ctl_first,
         "listing_dedup": q_listing_dedup,
+        "bid_pairs": q_bid_pairs,
+        "corp_detail_fields": q_corp_detail_fields,
         "stage_ids": q_stage_ids,
         "notice_fields": q_notice_fields,
         "section_rollup": q_section_rollup,
@@ -2084,6 +2158,123 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             SELECT stage_url, title FROM ranked WHERE rn = 1
             ORDER BY stage_url
+        """,
+        # mirror of q_bid_pairs: same span derivation as the candidates
+        # gate (marker /bids/, mod 53), then the naive header-skip +
+        # pair/side window query (the engine runs the production
+        # bid_items)
+        "bid_pairs": """
+            WITH spans AS (
+                SELECT 'https://h' || CAST(l_orderkey % 7 AS VARCHAR)
+                         || '.example.org/bids/'
+                         || CAST(l_orderkey AS VARCHAR) AS doc_id,
+                       l_orderkey,
+                       l_linenumber * 4 + ex.e AS off
+                FROM lineitem
+                CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS e) AS ex
+                WHERE l_orderkey % 53 = 0
+            ), cells AS (
+                SELECT doc_id,
+                       CASE WHEN (l_orderkey + off) % 3 = 0
+                            THEN CAST(l_orderkey + off AS VARCHAR)
+                            ELSE '公司' || CAST(l_orderkey AS VARCHAR)
+                                 || '-' || CAST(off AS VARCHAR) END AS text,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY off) - 1 AS pos
+                FROM spans
+            ), pairs AS (
+                SELECT doc_id, (pos - 2) // 2 AS pair,
+                       max(CASE WHEN (pos - 2) % 2 = 0 THEN text END)
+                           AS bidder_name,
+                       max(CASE WHEN (pos - 2) % 2 = 1 THEN text END)
+                           AS amount_raw
+                FROM cells WHERE pos >= 2
+                GROUP BY doc_id, (pos - 2) // 2
+            )
+            SELECT regexp_extract(doc_id, '/bids/([^/?#]+)', 1) AS project_id,
+                   '001' AS section_id,
+                   bidder_name,
+                   try_cast(amount_raw AS DOUBLE) AS bid_amount,
+                   pair AS bid_pos
+            FROM pairs
+            WHERE bidder_name IS NOT NULL AND bidder_name != ''
+            ORDER BY project_id, bid_pos
+        """,
+        # mirror of q_corp_detail_fields: 10-cell layout re-stated, then
+        # naive last-label-wins / keyword-filter / first-其他 windows
+        # (the engine runs the production corp_detail_items)
+        "corp_detail_fields": """
+            WITH spans AS (
+                SELECT 'https://corp.example.org/corp/detail?corpcode=C'
+                         || CAST(o_orderkey AS VARCHAR) AS doc_id,
+                       o_orderkey AS key, ex.e AS off
+                FROM orders
+                CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7,8,9]) AS e) AS ex
+                WHERE o_orderkey % 21 = 0
+            ), cells AS (
+                SELECT doc_id, key, off,
+                       CASE off
+                         WHEN 0 THEN '法人姓名'
+                         WHEN 1 THEN 'P' || CAST(key AS VARCHAR)
+                         WHEN 2 THEN CASE WHEN key % 3 = 0
+                                          THEN '法人姓名' ELSE '备注' END
+                         WHEN 3 THEN CASE WHEN key % 3 = 0
+                                          THEN 'Q' || CAST(key AS VARCHAR)
+                                          ELSE 'x' END
+                         WHEN 4 THEN '注册资本'
+                         WHEN 5 THEN CAST(key AS VARCHAR) || '万'
+                         WHEN 6 THEN CASE WHEN key % 2 = 0
+                                  THEN '资质条目：市政公用工程施工总承包贰级'
+                                  ELSE '资质条目：劳务分包' END
+                         WHEN 7 THEN '资质条目：房屋工程施工'
+                         WHEN 8 THEN '其他：甲' || CAST(key AS VARCHAR)
+                         ELSE CASE WHEN key % 5 = 0
+                                   THEN '其他：乙' || CAST(key AS VARCHAR)
+                                   ELSE '备注2' END
+                       END AS text
+                FROM spans
+            ), labv AS (
+                SELECT l.doc_id, l.text AS label, v.text AS value, l.off
+                FROM cells l JOIN cells v
+                     ON v.doc_id = l.doc_id AND v.off = l.off + 1
+                WHERE l.text IN ('法人姓名', '注册资本')
+            ), last_lab AS (
+                SELECT doc_id, label, value FROM (
+                    SELECT *, row_number() OVER (PARTITION BY doc_id, label
+                                                 ORDER BY off DESC) AS rn
+                    FROM labv) WHERE rn = 1
+            ), quals AS (
+                SELECT doc_id,
+                       list_sort(list_distinct(list(q))) AS qualifications
+                FROM (SELECT doc_id, substring(text, 6) AS q
+                      FROM cells WHERE text LIKE '资质条目：%')
+                WHERE q LIKE '%工程施工%' OR q LIKE '%工程专业%'
+                      OR q LIKE '%承包贰级%' OR q LIKE '%承包壹级%'
+                GROUP BY doc_id
+            ), oth AS (
+                SELECT doc_id, trim(substring(text, 4)) AS others FROM (
+                    SELECT doc_id, text,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY off) AS rn
+                    FROM cells WHERE text LIKE '其他：%') WHERE rn = 1
+            ), base AS (SELECT DISTINCT doc_id, key FROM spans)
+            SELECT 'C' || CAST(b.key AS VARCHAR) AS corp_code,
+                   corp.value AS corp,
+                   asset.value AS corp_asset,
+                   CAST(NULL AS VARCHAR) AS reg_address,
+                   CAST(NULL AS VARCHAR) AS valid_date,
+                   CAST(coalesce(len(q.qualifications), 0) AS INT) AS qual_n,
+                   coalesce(array_to_string(q.qualifications, '|'), '')
+                       AS qual_joined,
+                   o2.others AS others
+            FROM base b
+            LEFT JOIN (SELECT doc_id, value FROM last_lab
+                       WHERE label = '法人姓名') corp USING (doc_id)
+            LEFT JOIN (SELECT doc_id, value FROM last_lab
+                       WHERE label = '注册资本') asset USING (doc_id)
+            LEFT JOIN quals q USING (doc_id)
+            LEFT JOIN oth o2 USING (doc_id)
+            ORDER BY corp_code
         """,
         # mirror of q_stage_ids: span derivation re-stated, then the
         # naive label filter + first-by-offset window + 1-based split
