@@ -22,11 +22,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tbbid_scrapy_spark.operators.dedup import normalize_text
+from tbbid_scrapy_spark.operators.dedup import _spread, normalize_text
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + spread: the fixture parquet files are ONE row group each,
+    so every scan is a single task no matter how many cores the session
+    has — a heavy projection or map-side aggregate over it runs
+    single-threaded (guide: input skew — repartition right after the
+    read). ``_spread`` is a no-op for inputs already at least half as
+    wide as the session parallelism, so a genuinely wide (100 TB) scan
+    passes through untouched. Only used by queries whose result is
+    partitioning-invariant (aggregates / joins / fully tie-broken
+    sorts)."""
+    return _spread(_t(spark, sf_dir, name))
 
 
 def _disc_price() -> "F.Column":
@@ -101,7 +114,7 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization yields zero groups at sf0.01, which made the r2 oracle
     row vacuous; the full-text variant stays pinned non-vacuously on
     planted duplicates in tests/test_operators_dedup.py."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     norm = F.substring(normalize_text(F.col("text")), 1, 32)
     return (
         d.groupBy(norm.alias("norm_key"))
@@ -240,7 +253,7 @@ def q_recent_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_explode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: multi-value split + explode (company name ';' splitting,
     company_emp_info.py:62-76) — word frequencies per language."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     words = F.split(normalize_text(F.col("text")), " ")
     return (
         d.select("lang", F.explode(words).alias("word"))
@@ -1027,7 +1040,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality features (length/punct/stopword ratios)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     from tbbid_scrapy_spark.operators.text import quality_features, tokens
 
     c = F.col("text")
@@ -1049,7 +1062,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quantized ×1e4 → BIGINT per the cross-engine float rule."""
     from tbbid_scrapy_spark.operators.text import quality_score
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.round(quality_score(F.col("text")) * 10000).cast("long").alias("q4"),
@@ -1060,7 +1073,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic vs the table's lang label: confusion counts."""
     from tbbid_scrapy_spark.operators.text import lang_id
 
-    d = _t(spark, sf_dir, "documents")
+    d = _ts(spark, sf_dir, "documents")
     return (
         d.select("lang", lang_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang", "lang_pred")
@@ -1077,7 +1090,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cast to double BEFORE scoring, like every other embedding query:
     # the oracle casts to DOUBLE[] first, and float32 per-element
     # products leave only ~3e-7 of margin under the round(cos, 6) gate
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _ts(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
@@ -1168,7 +1181,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks are engine-stable)."""
     from tbbid_scrapy_spark.operators.similarity import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _ts(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )

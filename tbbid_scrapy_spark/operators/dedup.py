@@ -23,6 +23,7 @@ All pair outputs are canonical (id_a < id_b) and deterministic.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -46,7 +47,8 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     no text comparison after hashing — collisions at 2^-64 are accepted
     and can be re-verified with a second equality pass)."""
     return (
-        documents.select(
+        _spread(documents)
+        .select(
             F.xxhash64(normalize_text(F.col("text"))).alias("text_hash"),
             F.col("doc_id"),
         )
@@ -173,10 +175,17 @@ def verify_pairs_jaccard(documents: DataFrame, pairs: DataFrame,
     one to share the shingle materialization with fingerprinting)."""
     if sets_ is None:
         sets_ = shingle_hash_sets(documents, n)
+    # join the SAME frame twice via .alias(), not via per-side renamed
+    # projections: renamed projections defeat exchange reuse (the two
+    # build sides planned + scanned independently — visible as two
+    # identical build stages in the stage log), while aliased scans of
+    # one frame canonicalize identically and the second build becomes a
+    # ReusedExchange
+    s = sets_.select("doc_id", "sh")
     return (
         pairs.select("id_a", "id_b")
-        .join(sets_.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sets_.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .join(s.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(s.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
         .select(
             "id_a",
             "id_b",
@@ -185,8 +194,8 @@ def verify_pairs_jaccard(documents: DataFrame, pairs: DataFrame,
             # ANSI-on session a plain '/' would raise DIVIDE_BY_ZERO and
             # kill the query; NULL jaccard fails any ≥ τ filter instead.
             F.try_divide(
-                F.size(F.array_intersect("sh_a", "sh_b")),
-                F.size(F.array_union("sh_a", "sh_b")),
+                F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))),
+                F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh"))),
             ).alias("jaccard"),
         )
     )
@@ -206,14 +215,7 @@ def shingle_candidates(documents: DataFrame, n: int = 3,
     exact computation; the excluded-shingle count is observable via
     ``stop_shingle_stats``."""
     ex = _drop_stop_shingles(_exploded_shingles(documents, n), max_shingle_df)
-    a = ex.alias("a")
-    b = ex.alias("b")
-    return (
-        a.join(b, on="shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return _bucket_pairs(ex, ["shingle"])
 
 
 def stop_shingle_stats(documents: DataFrame, n: int = 3,
@@ -232,16 +234,36 @@ def stop_shingle_stats(documents: DataFrame, n: int = 3,
 
 
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.8,
-                        max_shingle_df: int | None = 1000) -> DataFrame:
-    """Exact Jaccard-similar pairs, computed COUNT-based: the (df-capped)
-    shingle self-join emits one row per shared shingle, a
-    ``groupBy(id_a, id_b).count()`` is then EXACTLY |A ∩ B| (shingle sets
-    are distinct per doc), and |A ∪ B| = |A| + |B| − |A ∩ B| from per-doc
-    set sizes — so no pair ever materializes, carries, or intersects a
-    shingle array. The pair aggregation gets map-side partial combine,
-    which collapses the self-join's quadratic-per-shingle output before
-    it ever shuffles; versus candidate-dedup + per-pair array_intersect
-    this removed two array-carrying joins (measured 15.5 s → see bench).
+                        max_shingle_df: int | None = 1000,
+                        persist_index: bool = True) -> DataFrame:
+    """Exact Jaccard-similar pairs, computed COUNT-based over a
+    one-pass INVERTED INDEX: ONE shingle scan groups exploded
+    (doc_id, xxhash64(shingle)) rows into (shingle, doc list); the df cap
+    is then a plain ``size(docs) <= cap`` filter on the grouped row (no
+    separate df table, no join); shared-shingle pairs come from a double
+    explode of each sub-cap doc list, whose ``groupBy(id_a, id_b)``
+    partial count is EXACTLY |A ∩ B| (shingle sets are distinct per
+    doc); and |A ∪ B| = |A| + |B| − |A ∩ B| from per-doc sub-cap set
+    sizes (an explode + count over the same index). No pair ever
+    materializes, carries, or intersects a shingle array, and the pair
+    aggregation's map-side combine still collapses the
+    quadratic-per-shingle output before it shuffles.
+
+    Versus the previous self-join shape this removes SEVEN of eight full
+    document scans + O(text-length) shingle transforms (the exploded
+    frame fed a df-table aggregate, a df join, two self-join sides and a
+    size aggregate — each a separate subtree re-running the shingle
+    explode; measured at sf0.1: 46 Exchange nodes → 12, 1.88 s →
+    0.57 s) and replaces the string-keyed shingle shuffle with 8-byte
+    xxhash64 keys — the same 2^-64 accepted-collision contract as
+    ``exact_dedup`` and ``verify_pairs_jaccard``.
+
+    ``persist_index``: the grouped index feeds both the pair generation
+    and the set-size aggregate; persisting it (scratch-registered,
+    caller-releasable) avoids re-scanning the text for the second
+    consumer. At 100 TB materialize the index to a table instead — it
+    is one row per distinct shingle carrying a doc-id list (the
+    classic inverted index, ~total-shingle-occurrence bytes).
 
     Semantics under the df cap: sets are the SUB-CAP shingle sets, i.e.
     Jaccard over non-boilerplate shingles — identical to the full exact
@@ -257,25 +279,44 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, threshold: float = 0.8
     FULL shingle sets (its candidate stage has no df cap), so the two
     operators agree exactly on fixtures but diverge on boilerplate-heavy
     pairs at web scale — sub-cap Jaccard here, full Jaccard there."""
-    ex = _drop_stop_shingles(_exploded_shingles(documents, n), max_shingle_df)
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = ex.alias("a"), ex.alias("b")
+    ex = _spread(documents).select(
+        F.col("doc_id"),
+        F.explode(
+            F.transform(shingles(F.col("text"), n), lambda s: F.xxhash64(s))
+        ).alias("shingle"),
+    )
+    grp = ex.groupBy("shingle").agg(F.collect_list("doc_id").alias("docs"))
+    if max_shingle_df is not None:
+        grp = grp.filter(F.size("docs") <= max_shingle_df)
+    if persist_index:
+        grp = scratch.persist(grp)
+    sizes = (
+        grp.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+    )
     inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        grp.select(F.explode("docs").alias("id_a"), F.col("docs"))
+        .select("id_a", F.explode("docs").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     # size lookups are one row per doc — NOT forced broadcast (at corpus
-    # scale they are as big as the corpus; AQE picks broadcast when small)
-    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("_na"))
-    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("_nb"))
+    # scale they are as big as the corpus; AQE picks broadcast when
+    # small). Joined via .alias() of ONE frame so the second lookup is a
+    # ReusedExchange instead of a full recompute of the size aggregate
+    # (renamed per-side projections defeat exchange reuse — measured as
+    # two identical aggregate stages in the stage log).
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        inter.join(sizes.alias("za"), F.col("id_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("id_b") == F.col("zb.doc_id"))
         .withColumn(
             "jaccard",
-            (F.col("inter") / (F.col("_na") + F.col("_nb") - F.col("inter"))).cast("double"),
+            (
+                F.col("inter")
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("inter"))
+            ).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -308,6 +349,46 @@ def minhash_signatures(documents: DataFrame, n: int = 3, num_hashes: int = 32,
     )
 
 
+def _bucket_pairs(rows: DataFrame, keys: list[str],
+                  carry: list[str] | None = None,
+                  screen=None) -> DataFrame:
+    """Distinct (id_a, id_b) doc-id pairs co-occurring in ≥1 bucket.
+
+    ``rows``: (doc_id, *keys, *carry) — one row per (doc, bucket)
+    membership. Pairs are generated by grouping each bucket's members
+    into ONE list (single shuffle of the narrow bucket rows, map-side
+    combined) and double-exploding it, instead of self-joining the
+    bucket rows — the self-join shape planned the (often expensive)
+    signature subtree TWICE, once per side (minhash: the full
+    explode+32-min aggregate; simhash: the 64-vote aggregate), and
+    shuffled both copies. Volume is identical: a k-member bucket emits
+    k(k-1)/2 pair rows either way, in one task either way (the self-join
+    hashed all of a bucket's rows to one partition too) — the known hot
+    -bucket cliff is unchanged, just paid once instead of twice.
+
+    ``screen(a, b)``: optional predicate over the carried member structs
+    (fields: doc_id, *carry), applied BEFORE the distinct-pair shuffle
+    — e.g. the simhash hamming screen."""
+    carry = carry or []
+    member = F.struct(F.col("doc_id"), *[F.col(c) for c in carry])
+    grp = (
+        rows.groupBy(*keys)
+        .agg(F.collect_list(member).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = (
+        grp.select(F.explode("ms").alias("a"), F.col("ms"))
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    if screen is not None:
+        pairs = pairs.filter(screen(F.col("a"), F.col("b")))
+    return (
+        pairs.select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_lsh_candidates(documents: DataFrame, n: int = 3, num_hashes: int = 32,
                            bands: int = 8,
                            sigs: DataFrame | None = None) -> DataFrame:
@@ -335,14 +416,7 @@ def minhash_lsh_candidates(documents: DataFrame, n: int = 3, num_hashes: int = 3
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
-    return (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return _bucket_pairs(band_rows, ["band", "bucket"])
 
 
 def minhash_lsh_pairs(documents: DataFrame, n: int = 3, num_hashes: int = 32,
@@ -429,6 +503,50 @@ def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return _simhash_votes(toks)
 
 
+def _simhash_from_sets_pd():
+    """Whole-batch simhash from per-doc feature-hash arrays: one numpy
+    unpackbits + reduceat per Arrow batch instead of exploding every
+    (doc, feature) row into a 64-aggregate shuffle. A document's simhash
+    depends ONLY on its own feature array — per-bit majority vote over
+    its features — so the explode+groupBy shape paid a full shuffle (and
+    265k × 64 conditional-sum updates at sf0.1) for a computation that
+    is row-local. Exact-integer parity with ``_simhash_votes``: bit i is
+    set iff 2·(features with bit i) > n_features, the same strict
+    tie-break as sum(±1) > 0. Same map-only Arrow pattern as
+    ``similarity._band_sigs_pd`` (measured there ~100× vs interpreted
+    HOFs); callers filter empty arrays first to mirror the explode
+    semantics (no row for an empty set)."""
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def sig(sh: pd.Series) -> pd.Series:
+        if len(sh) == 0:
+            return pd.Series([], dtype="int64")
+        vals = sh.to_numpy()
+        lens = np.fromiter(
+            (len(v) if v is not None else 0 for v in vals),
+            dtype=np.int64, count=len(vals),
+        )
+        out = np.zeros(len(vals), dtype=np.int64)
+        nz = np.nonzero(lens)[0]
+        if len(nz):
+            flat = np.concatenate([vals[i] for i in nz]).astype(np.int64)
+            # little-endian uint8 view + bitorder='little': column j of
+            # the unpacked matrix IS bit j of the int64 (incl. bit 63)
+            bits = np.unpackbits(
+                flat.view(np.uint64).view(np.uint8).reshape(-1, 8),
+                axis=1, bitorder="little",
+            ).astype(np.int64)  # uint8 reduceat would wrap at 256 features
+            starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+            counts = np.add.reduceat(bits, starts, axis=0).reshape(len(nz), 64)
+            simbits = (2 * counts > lens[nz, None]).astype(np.uint64)
+            w = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+            out[nz] = (simbits * w).sum(axis=1, dtype=np.uint64).view(np.int64)
+        return pd.Series(out)
+
+    return sig
+
+
 def simhash_shingle(documents: DataFrame, n: int = 3,
                     sets_: DataFrame | None = None) -> DataFrame:
     """Shingle-feature simhash: features are word n-gram hashes, so the
@@ -437,12 +555,18 @@ def simhash_shingle(documents: DataFrame, n: int = 3,
     corpora: docs sharing vocabulary but not phrasing sit at hamming ≤16,
     measured 83k candidates on 5k docs vs 4k with shingle features).
 
-    ``sets_``: pre-computed ``shingle_hash_sets`` frame to explode instead
+    Computed row-locally from the feature arrays (``_simhash_from_sets_pd``
+    — map-only, no shuffle; the empty-set filter mirrors the previous
+    explode path, which emitted no row for an empty set).
+
+    ``sets_``: pre-computed ``shingle_hash_sets`` frame to read instead
     of re-scanning/re-shingling the documents."""
     if sets_ is None:
         sets_ = shingle_hash_sets(documents, n)
-    feats = sets_.select("doc_id", F.explode(F.col("sh")).alias("th"))
-    return _simhash_votes(feats)
+    return (
+        sets_.filter(F.size("sh") > 0)
+        .select("doc_id", _simhash_from_sets_pd()(F.col("sh")).alias("simhash"))
+    )
 
 
 def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
@@ -528,21 +652,21 @@ def simhash_rotated_band_candidates(sh: DataFrame, width: int = 8,
                 )
             )
             bid += 1
-    carry = ["doc_id", "simhash"] if max_hamming is not None else ["doc_id"]
-    bands = sh.select(*carry, F.explode(F.array(*structs)).alias("bc")).select(
-        *carry, "bc.band", "bc.chunk"
+    cols = ["doc_id", "simhash"] if max_hamming is not None else ["doc_id"]
+    bands = sh.select(*cols, F.explode(F.array(*structs)).alias("bc")).select(
+        *cols, "bc.band", "bc.chunk"
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    joined = a.join(b, on=["band", "chunk"]).filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    screen = None
     if max_hamming is not None:
-        joined = joined.filter(
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-            <= max_hamming
-        )
-    return (
-        joined
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        def screen(a, b):
+            return (
+                F.bit_count(a["simhash"].bitwiseXOR(b["simhash"]))
+                <= max_hamming
+            )
+    return _bucket_pairs(
+        bands, ["band", "chunk"],
+        carry=["simhash"] if max_hamming is not None else None,
+        screen=screen,
     )
 
 

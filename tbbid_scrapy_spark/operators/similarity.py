@@ -425,6 +425,11 @@ def pairs_above(corpus: DataFrame, threshold: float = 0.95,
         )
         if persist_sigs:
             sig_frame = scratch.persist(sig_frame)
+        # bucket-mate pairs via grouped double-explode (shared helper with
+        # the minhash/simhash band paths): ONE shuffle of the narrow band
+        # rows instead of a self-join shuffling both sides
+        from tbbid_scrapy_spark.operators.dedup import _bucket_pairs
+
         if screen:
             full = F.lit(0).cast("long")
             for i in range(n_bands):
@@ -432,37 +437,36 @@ def pairs_above(corpus: DataFrame, threshold: float = 0.95,
                     F.shiftleft(F.element_at(F.col("sigs"), i + 1), i * n_planes)
                 )
             band_rows = sig_frame.select(
-                "vec_id", full.alias("full"),
+                F.col("vec_id").alias("doc_id"), full.alias("full"),
                 F.posexplode("sigs").alias("band", "sig"),
             )
+            bound = _screen_hamming_bound(threshold, total)
+
+            def _screen(a, b):
+                return (
+                    F.bit_count(a["full"].bitwiseXOR(b["full"]))
+                    <= F.lit(bound)
+                )
+
+            cand = _bucket_pairs(band_rows, ["band", "sig"],
+                                 carry=["full"], screen=_screen)
         else:
             band_rows = sig_frame.select(
-                "vec_id", F.posexplode("sigs").alias("band", "sig")
+                F.col("vec_id").alias("doc_id"),
+                F.posexplode("sigs").alias("band", "sig"),
             )
-        a = band_rows.alias("a")
-        b = band_rows.alias("b")
-        joined = a.join(b, on=["band", "sig"]).filter(
-            F.col("a.vec_id") < F.col("b.vec_id")
-        )
-        if screen:
-            joined = joined.filter(
-                F.bit_count(F.col("a.full").bitwiseXOR(F.col("b.full")))
-                <= F.lit(_screen_hamming_bound(threshold, total))
-            )
-        cand = (
-            joined
-            .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-        )
-    e_a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    e_b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+            cand = _bucket_pairs(band_rows, ["band", "sig"])
+    # aliased scans of ONE frame (not per-side renamed projections) so
+    # the second embedding lookup is a ReusedExchange — see
+    # dedup.verify_pairs_jaccard for the measured rationale
+    e = emb.select("vec_id", "embedding")
     return (
-        cand.join(e_a, "id_a")
-        .join(e_b, "id_b")
+        cand.join(e.alias("ea"), F.col("id_a") == F.col("ea.vec_id"))
+        .join(e.alias("eb"), F.col("id_b") == F.col("eb.vec_id"))
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("emb_a"), F.col("emb_b")).alias("cos"),
+            cosine(F.col("ea.embedding"), F.col("eb.embedding")).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

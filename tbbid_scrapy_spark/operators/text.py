@@ -189,6 +189,15 @@ def corpus_keep(documents: DataFrame, min_words: int = 20,
 
     c = F.col("text")
     f = quality_features(c)
+    # widen a narrow input BEFORE the regex/HOF-heavy quality+lang
+    # projection (dedup._spread — no-op for already-wide inputs): the
+    # fixture parquet is one row group, so without this the whole
+    # quality/lang pipeline ran as ONE task regardless of cores. The
+    # raw input width is captured FIRST — it also decides the
+    # survivors re-spread below (probing the derived survivors plan
+    # directly would finalize + execute it, see safe_num_partitions)
+    n_in = _dedup.safe_num_partitions(documents)
+    documents = _dedup._spread(documents)
     base = documents.select(
         "doc_id",
         "text",
@@ -202,18 +211,27 @@ def corpus_keep(documents: DataFrame, min_words: int = 20,
     if lang is not None:
         base = base.filter(F.col("lang_pred") == lang)
     keyed = base.withColumn("_th", F.xxhash64(_dedup.normalize_text(c)))
-    keepers = keyed.groupBy("_th").agg(F.min("doc_id").alias("doc_id"))
-    survivors = keyed.join(keepers, ["_th", "doc_id"], "left_semi").drop("_th")
+    # keep-min-doc_id per text hash as ONE partitioned window instead of
+    # a groupBy + semi-join back: same semantics, one exchange and no
+    # broadcast-build job (the hash groups are tiny, so the window sort
+    # is per-group trivial; partitioned by _th — never unpartitioned)
+    from pyspark.sql import Window as _W
+
+    _w = _W.partitionBy("_th").orderBy("doc_id")
+    survivors = (
+        keyed.withColumn("_rn", F.row_number().over(_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_th")
+    )
     if persist_survivors:
-        # AQE coalesces the small semi-join output down to ONE partition,
-        # which would single-thread BOTH the cache-fill of the
-        # regex-heavy quality/lang pipeline and the O(text-length)
-        # shingle work downstream (measured 14.5 s vs 3.6 s for the
-        # near-dup stage at sf0.1). Narrowness is decided from the INPUT
-        # scan (safe to probe — executes nothing), so a 100 TB input
-        # never pays a blind repartition: wide in ⇒ wide survivors.
+        # AQE coalesces the small post-window shuffle output down to ONE
+        # partition, which would single-thread BOTH the cache-fill and
+        # the O(text-length) shingle work downstream (measured 14.5 s vs
+        # 3.6 s for the near-dup stage at sf0.1). Narrowness is decided
+        # from the INPUT scan (safe to probe — executes nothing), so a
+        # 100 TB input never pays a blind repartition: wide in ⇒ AQE
+        # keeps the survivors at the advisory partition size.
         target = documents.sparkSession.sparkContext.defaultParallelism
-        n_in = _dedup.safe_num_partitions(documents)
         if n_in is not None and n_in * 2 <= target:
             survivors = survivors.repartition(target)
         survivors = _scratch.persist(survivors)
@@ -223,7 +241,9 @@ def corpus_keep(documents: DataFrame, min_words: int = 20,
         threshold=near_dup_threshold,
         max_shingle_df=max_shingle_df,
     )
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # no .distinct() on the losers: left_anti semantics are identical
+    # against a multiset and the dedup shuffle was pure overhead
+    losers = pairs.select(F.col("id_b").alias("doc_id"))
     return (
         survivors.join(losers, "doc_id", "left_anti")
         .select("doc_id", "n_words")

@@ -314,6 +314,17 @@ def merge_upsert(
     - implemented as one full_outer join on the keys → one shuffle, AQE
       handles skew; at cluster scale this call site becomes Iceberg
       MERGE INTO with identical semantics.
+    - the join key is the PACKED ``struct(*keys)`` compared with plain
+      ``==`` (struct equality is null-safe — verified: NULL fields
+      compare equal, so NULL-keyed rows still pair up exactly as the
+      previous per-column ``eqNullSafe`` did). Packing matters for the
+      plan: ``eqNullSafe`` makes the join hash on
+      ``(coalesce(k, 0), isnull(k))`` while the source-dedup window
+      hashes on plain ``k``, so the source side paid TWO exchanges +
+      two sorts; with both the window and the join keyed on the same
+      ``_k`` attribute the window's exchange satisfies the join's
+      requirement and the source is shuffled once (plan: 3 Exchange →
+      2 for the merge itself, measured in plans/r06/merge_upsert_*).
     """
     on_matched = on_matched or {}
     data_cols = [c for c in target.columns if c not in keys]
@@ -327,13 +338,16 @@ def merge_upsert(
     if on_duplicate not in ("dedup", "error"):
         raise ValueError(f"on_duplicate must be 'dedup' or 'error', got {on_duplicate!r}")
 
+    packed = F.struct(*[F.col(k) for k in keys])
+    source = source.withColumn("_k", packed)
+
     if on_duplicate == "error":
         # lazy duplicate-key detection riding the same per-key shuffle:
         # assert_true raises at execution time on the first key with >1
         # source rows (Iceberg MERGE INTO's multiple-match error). The
         # check lives in a FILTER predicate so column pruning can't
         # remove it.
-        wc = Window.partitionBy(*keys)
+        wc = Window.partitionBy("_k")
         src = (
             source.withColumn("_kc", F.count(F.lit(1)).over(wc))
             .filter(
@@ -352,7 +366,7 @@ def merge_upsert(
         )
     else:
         order_cols = source_order or (keys + data_cols)
-        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+        w = Window.partitionBy("_k").orderBy(*[F.col(c).desc() for c in order_cols])
         src = (
             source.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -360,11 +374,10 @@ def merge_upsert(
         )
 
     # presence markers survive the outer join even when key columns are
-    # legitimately NULL (join uses eqNullSafe)
-    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    # legitimately NULL (the packed-struct join key is null-safe)
+    t = target.withColumn("_k", packed).withColumn("_t_present", F.lit(True)).alias("t")
     s = src.withColumn("_s_present", F.lit(True)).alias("s")
-    joined = t.join(s, on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
-                    how="full_outer")
+    joined = t.join(s, on=F.col("t._k") == F.col("s._k"), how="full_outer")
     s_present = F.col("s._s_present").isNotNull()
     t_present = F.col("t._t_present").isNotNull()
 
