@@ -77,48 +77,6 @@ def apply_robots_joined(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     return joined.filter(allow).drop("_rules")
 
 
-def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
-    """Drop URLs whose (host, longest-matching path_prefix) rule is
-    disallow. The rules table is tiny (per-host prefixes) → broadcast.
-
-    Longest-prefix-wins like real robots matchers: join all matching
-    prefixes, keep the longest, require allow. Hosts with no rule default
-    to allow. (The reference ships with ROBOTSTXT_OBEY commented out —
-    settings.py:19-20; the engine enforces rules, and parity fixtures use
-    allow-all rules.)
-
-    Per-ROW semantics: the longest-prefix window partitions by a row
-    identity taken before the join, NOT by url_hash — partitioning by
-    url_hash alone would silently collapse duplicate-url_hash input rows
-    (the natural pre-dedup candidate shape: one URL discovered from two
-    parents) to one arbitrary survivor, dropping the other row with a
-    nondeterministic parent."""
-    path = F.parse_url(F.col("url_norm"), F.lit("PATH"))
-    matched = (
-        frontier.withColumn("_path", path)
-        .withColumn("_row", F.monotonically_increasing_id())
-        .join(
-            F.broadcast(robots).withColumnRenamed("host", "_rhost"),
-            on=[F.col("host") == F.col("_rhost"),
-                F.col("_path").startswith(F.col("path_prefix"))],
-            how="left",
-        )
-    )
-    # allow desc as the tiebreak: identical-prefix rules with conflicting
-    # allow resolve allow-wins, matching apply_robots_joined (a
-    # length-only order left the winner to row_number's arbitrary pick)
-    w = Window.partitionBy("_row").orderBy(
-        F.length("path_prefix").desc_nulls_last(),
-        F.col("allow").desc_nulls_last(),
-    )
-    return (
-        matched.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .filter(F.col("allow").isNull() | F.col("allow"))
-        .drop("_rn", "_row", "_path", "_rhost", "path_prefix", "allow")
-    )
-
-
 def politeness_rank(pending: DataFrame, politeness: DataFrame,
                     default_budget: int = 4, salt_buckets: int = 64) -> DataFrame:
     """Select this wave's fetch batch: per-host rank by (priority desc,

@@ -224,7 +224,8 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def ivf_index(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
-              seed: int = 42) -> tuple[DataFrame, DataFrame]:
+              seed: int = 42,
+              sample_fraction: float | None = None) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: k-means centroids + per-vector assignment,
     entirely as DataFrame ops (no MLlib, no Python in the loop).
 
@@ -237,12 +238,28 @@ def ivf_index(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
       posexplode + groupBy(cid, pos) — two narrow shuffles per iteration,
       partial-aggregated map-side. Index construction is the offline
       path; at 10^10 vectors one builds it on a sample and only the
-      single assign pass touches the full corpus.
+      single assign pass touches the full corpus — ``sample_fraction``
+      IS that path: when set (< 1.0), the init pick and every Lloyd
+      iteration scan only the rows whose ``xxhash64(vec_id, seed)``
+      bucket falls under the fraction (deterministic, content-keyed —
+      no RNG state, the same trick as the init sample and the LSH
+      hyperplanes), while the returned assignment still covers the FULL
+      corpus. The caller must leave ≥ n_centroids sampled rows
+      (fraction · corpus ≥ n_centroids) or the index degenerates.
+      Default None keeps the exact full-scan construction.
 
     Returns (centroids(cid, centroid), assigned(vec_id, embedding, cid)).
     """
+    train = corpus
+    if sample_fraction is not None and sample_fraction < 1.0:
+        bound = int(sample_fraction * (1 << 32))
+        train = corpus.filter(
+            F.pmod(
+                F.xxhash64(F.col("vec_id"), F.lit(seed + 1)), F.lit(1 << 32)
+            ) < F.lit(bound)
+        )
     init = (
-        corpus.select("vec_id", "embedding")
+        train.select("vec_id", "embedding")
         .withColumn("_r", F.xxhash64(F.col("vec_id"), F.lit(seed)))
         .orderBy("_r")
         .limit(n_centroids)
@@ -252,7 +269,7 @@ def ivf_index(corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
         F.col("embedding").alias("centroid"),
     )
     for _ in range(iters):
-        assigned = assign_ivf(corpus, centroids)
+        assigned = assign_ivf(train, centroids)
         recomputed = (
             assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -302,7 +319,8 @@ def assign_ivf(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, n_probe: int = 4, iters: int = 3,
              seed: int = 42,
-             index: tuple[DataFrame, DataFrame] | None = None) -> DataFrame:
+             index: tuple[DataFrame, DataFrame] | None = None,
+             sample_fraction: float | None = None) -> DataFrame:
     """Approximate top-k by cosine via IVF probing, exact re-score.
 
     Each query scores only the inverted lists of its ``n_probe`` nearest
@@ -314,7 +332,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     brute-force SQL oracle this query). Same output contract as
     ``cosine_topk``: (query_id, vec_id, cos, rank ≤ k)."""
     centroids, assigned = index if index is not None else ivf_index(
-        corpus, n_centroids, iters, seed
+        corpus, n_centroids, iters, seed, sample_fraction=sample_fraction
     )
     q = queries.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")

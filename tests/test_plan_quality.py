@@ -123,12 +123,14 @@ def test_politeness_under_budget_skips_window(spark):
 
 
 def test_apply_robots_keeps_duplicate_url_hash_rows(spark):
-    """The exported longest-prefix robots operator is per-ROW: two input
-    rows with the same url_hash (one URL discovered from two parents —
-    the natural pre-dedup candidate shape) must BOTH survive; the old
-    url_hash-partitioned window silently collapsed them to one arbitrary
-    row with a nondeterministic parent."""
-    from tbbid_scrapy_spark.operators.frontier import apply_robots
+    """The production robots operator is per-ROW: two input rows with the
+    same url_hash (one URL discovered from two parents — the natural
+    pre-dedup candidate shape) must BOTH survive with their own parents.
+    (The r4/r6 rounds deleted the two orphan variants — the literal-map
+    expression and the per-row-window join — for having no production
+    callers; this pin moved to the joined operator, which is a pure
+    join+filter and therefore per-row by construction.)"""
+    from tbbid_scrapy_spark.operators.frontier import apply_robots_joined
 
     frontier = spark.createDataFrame(
         [
@@ -142,7 +144,7 @@ def test_apply_robots_keeps_duplicate_url_hash_rows(spark):
         [("h.example.org", "/", True), ("h.example.org", "/blocked", False)],
         "host string, path_prefix string, allow boolean",
     )
-    out = apply_robots(frontier, robots).collect()
+    out = apply_robots_joined(frontier, robots).collect()
     assert sorted((r.url_hash, r.parent) for r in out) == [(11, "p1"), (11, "p2")]
 
 
