@@ -100,11 +100,26 @@ def _spread(documents: DataFrame) -> DataFrame:
     single-thread both the cache-fill and the shingle work —
     corpus_keep repartitions its survivors pre-persist when the input
     scan is narrow (measured 14.5 s vs 3.6 s at sf0.1,
-    operators/text.py)."""
+    operators/text.py).
+
+    The always-true nondeterministic filter after the repartition is a
+    PUSHDOWN BARRIER: Catalyst pushes deterministic filters below a
+    Repartition, so a caller's expression-heavy filter (corpus_keep's
+    quality/lang gate — regex + HOFs) was evaluated in the SINGLE
+    pre-exchange scan task, re-serializing exactly the work the spread
+    parallelizes (measured: a 0.7 s one-task stage at sf0.1; plan showed
+    `Filter` below the spread `Exchange`). Predicates cannot be
+    reordered past a nondeterministic filter, and
+    monotonically_increasing_id() ≥ 0 is always true, so semantics are
+    unchanged at ~zero per-row cost. Applied only on the narrow-input
+    branch — a wide (100 TB) scan passes through untouched and keeps
+    full predicate pushdown."""
     target = documents.sparkSession.sparkContext.defaultParallelism
     n = safe_num_partitions(documents)
     if n is not None and n * 2 <= target:
-        return documents.repartition(target)
+        return documents.repartition(target).filter(
+            F.monotonically_increasing_id() >= 0
+        )
     return documents
 
 
