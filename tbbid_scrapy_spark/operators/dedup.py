@@ -23,6 +23,8 @@ All pair outputs are canonical (id_a < id_b) and deterministic.
 
 from __future__ import annotations
 
+import functools as _functools
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -160,32 +162,32 @@ def _gram_hash_array(n: int) -> Column:
     the 5k-doc set build): no per-position slice allocation, no
     re-tokenization per branch. Distinct-then-hash vs hash-then-distinct
     differ only via 2^-64 hash collisions — the contract exact_dedup
-    already accepts."""
-    k = F.greatest(F.size("_toks") - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(0), k - F.lit(1)),
-        lambda i: F.xxhash64(
-            F.concat_ws(
-                " ", *[F.element_at(F.col("_toks"), i + F.lit(j + 1)) for j in range(n)]
-            )
-        ),
-    )
-    return F.array_distinct(
-        F.when(k > 0, grams).otherwise(F.array().cast("array<bigint>"))
+    already accepts.
+
+    Parsed as ONE SQL expression: the Column-by-Column build of the
+    same tree cost ~100 py4j round-trips per call, driver-side, inside
+    the timed query build (the CASE condition/branches mirror the
+    previous greatest/when form exactly — `size(_toks)-(n-1) > 0` ⟺
+    `greatest(size(_toks)-(n-1), 0) > 0`, and the true branch's
+    sequence bound k-1 = size(_toks)-n)."""
+    elems = ", ".join(f"element_at(_toks, i + {j + 1})" for j in range(n))
+    gram = f"xxhash64(concat_ws(' ', {elems}))"
+    return F.expr(
+        f"array_distinct(CASE WHEN size(_toks) - {n - 1} > 0 THEN "
+        f"transform(sequence(0, size(_toks) - {n}), i -> {gram}) "
+        f"ELSE cast(array() as array<bigint>) END)"
     )
 
 
 def _exploded_shingles(documents: DataFrame, n: int) -> DataFrame:
+    # same one-parsed-expression form as _gram_hash_array (string grams,
+    # no hashing — the exact-verify/stop-shingle paths key on strings)
     d = _with_tokens(documents)
-    k = F.greatest(F.size("_toks") - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(0), k - F.lit(1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(F.col("_toks"), i + F.lit(j + 1)) for j in range(n)]
-        ),
-    )
-    distinct = F.array_distinct(
-        F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
+    elems = ", ".join(f"element_at(_toks, i + {j + 1})" for j in range(n))
+    distinct = F.expr(
+        f"array_distinct(CASE WHEN size(_toks) - {n - 1} > 0 THEN "
+        f"transform(sequence(0, size(_toks) - {n}), i -> concat_ws(' ', {elems})) "
+        f"ELSE cast(array() as array<string>) END)"
     )
     return d.select(F.col("doc_id"), F.explode(distinct).alias("shingle"))
 
@@ -402,13 +404,16 @@ def minhash_signatures(documents: DataFrame, n: int = 3, num_hashes: int = 32,
         ex = sets_.select(F.col("doc_id"), F.explode("sh").alias("shingle"))
     else:
         ex = _exploded_shingles(documents, n)
+    # one parsed expression per component (same min/xxhash64/int-seed
+    # tree as the Column form, ~6x fewer py4j round-trips to build)
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.expr(f"min(xxhash64(shingle, {i})) AS h{i}")
         for i in range(num_hashes)
     ]
     sigs = ex.groupBy("doc_id").agg(*aggs)
     return sigs.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+        "doc_id",
+        F.expr("array(" + ",".join(f"h{i}" for i in range(num_hashes)) + ")").alias("sig"),
     )
 
 
@@ -468,14 +473,9 @@ def minhash_lsh_candidates(documents: DataFrame, n: int = 3, num_hashes: int = 3
     band_rows = sigs.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws("|", F.slice(F.col("sig"), b * r + 1, r)), b
-                    ).alias("bucket"),
-                ),
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> struct(b AS band, "
+                f"xxhash64(concat_ws('|', slice(sig, b * {r} + 1, {r})), b) AS bucket))"
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
@@ -566,6 +566,7 @@ def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return _simhash_votes(toks)
 
 
+@_functools.lru_cache(maxsize=1)
 def _simhash_from_sets_pd():
     """Whole-batch simhash from per-doc feature-hash arrays: one numpy
     unpackbits + reduceat per Arrow batch instead of exploding every
@@ -697,28 +698,27 @@ def simhash_rotated_band_candidates(sh: DataFrame, width: int = 8,
     (measured 5k docs / 32 bands: ~500k colliding pairs → ~4k screened)."""
     assert 64 % width == 0
     mask = (1 << width) - 1
+    # the 32-struct window array parses as ONE SQL expression (same
+    # rotate/shift/mask trees as the Column build, which cost ~300 py4j
+    # round-trips per call inside the timed query build)
     structs = []
     bid = 0
     for off in offsets:
         rot = (
-            F.shiftrightunsigned(F.col("simhash"), off).bitwiseOR(
-                F.shiftleft(F.col("simhash"), 64 - off)
-            )
+            f"(shiftrightunsigned(simhash, {off}) | shiftleft(simhash, {64 - off}))"
             if off
-            else F.col("simhash")
+            else "simhash"
         )
         for i in range(64 // width):
             structs.append(
-                F.struct(
-                    F.lit(bid).alias("band"),
-                    F.shiftrightunsigned(rot, width * i).bitwiseAND(F.lit(mask)).alias("chunk"),
-                )
+                f"struct({bid} AS band, "
+                f"shiftrightunsigned({rot}, {width * i}) & {mask} AS chunk)"
             )
             bid += 1
     cols = ["doc_id", "simhash"] if max_hamming is not None else ["doc_id"]
-    bands = sh.select(*cols, F.explode(F.array(*structs)).alias("bc")).select(
-        *cols, "bc.band", "bc.chunk"
-    )
+    bands = sh.select(
+        *cols, F.explode(F.expr("array(" + ",".join(structs) + ")")).alias("bc")
+    ).select(*cols, "bc.band", "bc.chunk")
     screen = None
     if max_hamming is not None:
         def screen(a, b):

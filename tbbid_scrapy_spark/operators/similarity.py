@@ -30,6 +30,8 @@ measured at the sf0.1 fixture).
 
 from __future__ import annotations
 
+import functools as _functools
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -57,12 +59,37 @@ def _norm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def _cosine_sql(a: str, b: str) -> str:
+    """SQL text of the exact left-fold cosine over two array refs —
+    identical tree to the Column form (`0.0D` is the DOUBLE literal;
+    a bare SQL `0.0` parses as DECIMAL and would change the fold
+    type). Parsing once replaces ~60 py4j round-trips per call in the
+    timed query build."""
+    def dot(x: str, y: str) -> str:
+        return (
+            f"aggregate(zip_with({x}, {y}, (x, y) -> cast(x * y as double)), "
+            f"0.0D, (acc, v) -> acc + v)"
+        )
+
+    def norm(x: str) -> str:
+        return (
+            f"sqrt(aggregate(transform({x}, x -> cast(x * x as double)), "
+            f"0.0D, (acc, v) -> acc + v))"
+        )
+
+    return f"try_divide({dot(a, b)}, {norm(a)} * {norm(b)})"
+
+
+def cosine(a: "Column | str", b: "Column | str") -> Column:
     # try_divide, not '/': an all-zero embedding anywhere in the corpus
     # would otherwise raise DIVIDE_BY_ZERO under an ANSI-on session (the
     # driver harness runs one) and kill the whole stage — the same
     # one-bad-row failure class _band_sigs_pd is hardened against.
     # NULL cosine falls out of every threshold/top-k comparison.
+    # String args (column names / qualified refs) parse as one SQL
+    # expression — same tree, far cheaper to build.
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_cosine_sql(a, b))
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
@@ -79,7 +106,7 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     scored = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         "vec_id",
-        cosine(F.col("embedding"), F.col("q_emb")).alias("cos"),
+        cosine("embedding", "q_emb").alias("cos"),
     )
     return topk_per_query(scored, k)
 
@@ -102,6 +129,7 @@ def _embedding_dim(df: DataFrame, col: str = "embedding") -> int:
     return int(row["_d"]) if row is not None else 0
 
 
+@_functools.lru_cache(maxsize=64)
 def _band_sigs_pd(n_bands: int, n_planes: int, seed: int, dim: int):
     """Arrow-batched band-signature UDF: ONE numpy matmul per batch
     ((N×dim) @ (dim×total) → sign bits → n_bands packed ints) instead of
@@ -215,7 +243,7 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", "vec_id",
-            cosine(F.col("embedding"), F.col("q_emb")).alias("cos"),
+            cosine("embedding", "q_emb").alias("cos"),
         )
         .groupBy("query_id", "vec_id")
         .agg(F.min("cos").alias("cos"))
@@ -303,7 +331,7 @@ def assign_ivf(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
         "vec_id",
         "embedding",
         F.struct(
-            cosine(F.col("embedding"), F.col("centroid")).alias("cos"),
+            cosine("embedding", "centroid").alias("cos"),
             (-F.col("cid")).alias("neg_cid"),
         ).alias("_s"),
         F.col("cid"),
@@ -341,7 +369,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         "query_id",
         "q_emb",
         "cid",
-        cosine(F.col("q_emb"), F.col("centroid")).alias("_ccos"),
+        cosine("q_emb", "centroid").alias("_ccos"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_ccos").desc(), F.col("cid"))
     probes = (
@@ -356,7 +384,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     scored = assigned.join(probes, on="cid").filter(
         F.col("vec_id") != F.col("query_id")
     ).select(
-        "query_id", "vec_id", cosine(F.col("embedding"), F.col("q_emb")).alias("cos")
+        "query_id", "vec_id", cosine("embedding", "q_emb").alias("cos")
     )
     return topk_per_query(scored, k)
 
@@ -484,7 +512,7 @@ def pairs_above(corpus: DataFrame, threshold: float = 0.95,
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("ea.embedding"), F.col("eb.embedding")).alias("cos"),
+            cosine("ea.embedding", "eb.embedding").alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -37,6 +37,129 @@ def tokens(col: Column) -> Column:
     return F.regexp_extract_all(F.lower(col), F.lit(f"({TOKEN_PATTERN})"), 1)
 
 
+def words_of(col: Column) -> Column:
+    """Normalized whitespace tokens — THE shared tokenization every
+    feature below consumes. Callers on a hot path should materialize it
+    once per row in its own projection (``F.col`` reference afterwards)
+    instead of passing raw text into several features: each feature
+    otherwise embeds its own copy of the split subtree and the
+    tokenization re-runs per consumer (the same duplicate-subtree class
+    measured and fixed for shingle hashes and the URL canonicalizer —
+    here it was ~7 evaluations per row in corpus_keep's gate
+    projection)."""
+    return F.split(F.trim(F.lower(col)), f"{WS_CLASS}+")
+
+
+def _stop_arr_sql(lang: str) -> str:
+    return "array(" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + ")"
+
+
+def _hits_sql(words_ref: str, lang: str) -> str:
+    """SQL text for 'stopword hit count of ``lang`` over the
+    materialized token-array column ``words_ref``' — byte-equal
+    semantics to size(filter(words, w -> array_contains(stops, w))).
+    Built as ONE parsed expression: the Column-by-Column construction
+    of the same tree costs hundreds of py4j round-trips per language
+    (driver-side, inside every timed query build — measured ~0.45 s per
+    heavy query, guide §1 'fixed costs dominate at the bench SF')."""
+    return (
+        f"size(filter({words_ref}, w -> "
+        f"array_contains({_stop_arr_sql(lang)}, w)))"
+    )
+
+
+# comparator of the language argmax: hits desc, then lang asc — the
+# flattened CASE is semantically identical to the nested when/otherwise
+# Column comparator it replaces.
+_CMP_SQL = (
+    "(a, b) -> CASE WHEN a.hits > b.hits THEN -1 "
+    "WHEN a.hits < b.hits THEN 1 "
+    "WHEN a.lang < b.lang THEN -1 "
+    "WHEN a.lang > b.lang THEN 1 ELSE 0 END"
+)
+
+
+def _lang_scores_sql(words_ref: str) -> str:
+    entries = ",".join(
+        f"struct('{lang}' AS lang, {_hits_sql(words_ref, lang)} AS hits)"
+        for lang in STOPWORDS
+    )
+    return f"array({entries})"
+
+
+def lang_best(words_ref: str = "_words") -> Column:
+    """Winning (lang, hits) struct over a materialized token-array
+    column. Callers materialize THIS in its own projection too, then
+    read the two fields with ``lang_from_best`` — ``lang_id``'s
+    best["hits"]/best["lang"] field reads each embedded a full copy of
+    the 4-language scoring tree, so the scoring ran twice per row."""
+    return F.expr(
+        f"element_at(array_sort({_lang_scores_sql(words_ref)}, {_CMP_SQL}), 1)"
+    )
+
+
+def lang_from_best(best: Column) -> Column:
+    """'und' fallback over a MATERIALIZED best-struct column (two O(1)
+    field reads)."""
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def words_gate(col: Column, min_words: int, lang: str | None) -> Column:
+    """`n_words >= min_words AND lang_id(col) == lang` as ONE
+    single-evaluation boolean expression over raw text.
+
+    Construction rationale (guide §1.2 step 2 + §7.2): the naive
+    `select(n_words, lang_pred).filter(...)` shape evaluates the
+    tokenization ~7x per row — each feature embeds its own copy of the
+    split subtree, `lang_id`'s best["hits"]/best["lang"] field reads
+    each embed a full copy of the 4-language scoring tree, and
+    PushPredicateThroughProject then substitutes those trees into the
+    pushed condition while the projection still computes its outputs.
+    Here the token array is bound ONCE as a 1-element struct array and
+    every consumer reads it through the lambda variable (evaluated once
+    per row by construction); the argmax struct is bound the same way
+    one level down. A filter on this expression therefore costs exactly
+    one tokenization + one scoring pass per row wherever the optimizer
+    moves it. NULL text yields NULL (row filtered) exactly like the
+    previous shape."""
+
+    def _inner(s: Column) -> Column:
+        w = s["w"]
+        cond = F.size(w) >= min_words
+        if lang is not None:
+            entries = []
+            for lg, sw in STOPWORDS.items():
+                arr = F.array(*[F.lit(x) for x in sw])
+                entries.append(
+                    F.struct(
+                        F.lit(lg).alias("lang"),
+                        F.size(
+                            F.filter(w, lambda x: F.array_contains(arr, x))
+                        ).alias("hits"),
+                    )
+                )
+            best = F.element_at(
+                F.array_sort(
+                    F.array(*entries),
+                    lambda a, b: F.when(a["hits"] > b["hits"], -1)
+                    .when(a["hits"] < b["hits"], 1)
+                    .otherwise(
+                        F.when(a["lang"] < b["lang"], -1)
+                        .when(a["lang"] > b["lang"], 1)
+                        .otherwise(0)
+                    ),
+                ),
+                1,
+            )
+            cond = cond & F.exists(
+                F.array(best),
+                lambda bb: (bb["hits"] > 0) & (bb["lang"] == F.lit(lang)),
+            )
+        return cond
+
+    return F.exists(F.array(F.struct(words_of(col).alias("w"))), _inner)
+
+
 def token_count(col: Column) -> Column:
     """Whitespace-word count + regex token count in one struct."""
     return F.struct(
@@ -45,14 +168,25 @@ def token_count(col: Column) -> Column:
     )
 
 
-def quality_features(col: Column) -> dict[str, Column]:
+def quality_features(col: Column, words: "Column | str | None" = None) -> dict[str, Column]:
     """Length / punctuation / stopword-ratio features (the standard
-    pretraining-corpus quality heuristics)."""
+    pretraining-corpus quality heuristics).
+
+    ``words``: a pre-materialized token-array column — pass the NAME of
+    a column holding ``words_of(col)`` so the tokenization runs once per
+    row and the stopword scan parses as one SQL expression (see
+    ``words_of``/``_hits_sql``); default None re-tokenizes inline
+    (byte-identical values either way)."""
     n_chars = F.length(col)
-    words = F.split(F.trim(F.lower(col)), f"{WS_CLASS}+")
+    if isinstance(words, str):
+        stop_hits = F.expr(_hits_sql(words, "en"))
+        words = F.col(words)
+    else:
+        if words is None:
+            words = words_of(col)
+        en = F.array([F.lit(w) for w in STOPWORDS["en"]])
+        stop_hits = F.size(F.filter(words, lambda w: F.array_contains(en, w)))
     n_words = F.size(words)
-    en = F.array([F.lit(w) for w in STOPWORDS["en"]])
-    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(en, w)))
     # Unicode-aware punctuation class: Java \w is ASCII-only, so the old
     # [^\w\s] counted every ü/é/汉 as punctuation and the quality gate
     # rejected clean documents in exactly the languages STOPWORDS covers.
@@ -72,10 +206,11 @@ def quality_features(col: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, words: "Column | str | None" = None) -> Column:
     """Composite [0,1] quality score: rewards stopword presence and sane
-    word lengths, penalizes punctuation soup — deterministic and cheap."""
-    f = quality_features(col)
+    word lengths, penalizes punctuation soup — deterministic and cheap.
+    ``words``: see ``quality_features``."""
+    f = quality_features(col, words=words)
     word_len_ok = F.when(
         (f["mean_word_len"] >= 2.0) & (f["mean_word_len"] <= 12.0), F.lit(1.0)
     ).otherwise(F.lit(0.0))
@@ -87,9 +222,11 @@ def quality_score(col: Column) -> Column:
     return score.cast("double")
 
 
-def lang_scores(col: Column) -> Column:
-    """Map of language → stopword hit count."""
-    words = F.split(F.trim(F.lower(col)), f"{WS_CLASS}+")
+def lang_scores(col: Column, words: Column | None = None) -> Column:
+    """Array of (lang, stopword hit count) structs. ``words``: optional
+    pre-materialized token array (defaults to tokenizing ``col``)."""
+    if words is None:
+        words = words_of(col)
     entries = []
     for lang, sw in STOPWORDS.items():
         arr = F.array([F.lit(w) for w in sw])
@@ -105,7 +242,14 @@ def lang_scores(col: Column) -> Column:
 def lang_id(col: Column) -> Column:
     """argmax language by stopword hits; 'und' (undetermined) when no
     stopword of any list appears. Ties break by language code order for
-    determinism (array_sort on (-hits, lang))."""
+    determinism (array_sort on (-hits, lang)).
+
+    The winning struct is bound ONCE via transform over a 1-element
+    array and read through the lambda variable: reading best["hits"] /
+    best["lang"] directly embedded a full copy of the scoring tree per
+    field, doubling the per-row cost (same values either way). Frame
+    pipelines should still prefer the staged words_of/lang_best chain,
+    which also tokenizes once."""
     scored = lang_scores(col)
     best = F.element_at(
         F.array_sort(
@@ -116,7 +260,13 @@ def lang_id(col: Column) -> Column:
         ),
         1,
     )
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return F.element_at(
+        F.transform(
+            F.array(best),
+            lambda b: F.when(b["hits"] > 0, b["lang"]).otherwise(F.lit("und")),
+        ),
+        1,
+    )
 
 
 def fingerprint(col: Column, n: int = 4) -> Column:
@@ -138,18 +288,23 @@ def fingerprint(col: Column, n: int = 4) -> Column:
 
 
 def with_text_analysis(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """All analyses in one projection (single scan)."""
+    """All analyses over one scan, with the token array and the
+    language argmax each materialized once (words_of/lang_best — the
+    single-projection form re-tokenized per feature)."""
     c = F.col(text_col)
-    feats = quality_features(c)
-    return documents.withColumns(
+    staged = documents.withColumn("_words", words_of(c)).withColumn(
+        "_best", lang_best("_words")
+    )
+    feats = quality_features(c, words="_words")
+    return staged.withColumns(
         {
             **feats,
-            "quality": quality_score(c),
-            "lang_pred": lang_id(c),
+            "quality": quality_score(c, words="_words"),
+            "lang_pred": lang_from_best(F.col("_best")),
             "n_tokens": F.size(tokens(c)),
             "fingerprint": fingerprint(c),
         }
-    )
+    ).drop("_words", "_best")
 
 
 def corpus_keep(documents: DataFrame, min_words: int = 20,
@@ -188,9 +343,8 @@ def corpus_keep(documents: DataFrame, min_words: int = 20,
     from tbbid_scrapy_spark.operators import scratch as _scratch
 
     c = F.col("text")
-    f = quality_features(c)
     # widen a narrow input BEFORE the regex/HOF-heavy quality+lang
-    # projection (dedup._spread — no-op for already-wide inputs): the
+    # gate (dedup._spread — no-op for already-wide inputs): the
     # fixture parquet is one row group, so without this the whole
     # quality/lang pipeline ran as ONE task regardless of cores. The
     # raw input width is captured FIRST — it also decides the
@@ -198,18 +352,17 @@ def corpus_keep(documents: DataFrame, min_words: int = 20,
     # directly would finalize + execute it, see safe_num_partitions)
     n_in = _dedup.safe_num_partitions(documents)
     documents = _dedup._spread(documents)
-    base = documents.select(
-        "doc_id",
-        "text",
-        f["n_words"].alias("n_words"),
-        f["punct_ratio"].alias("punct_ratio"),
-        lang_id(c).alias("lang_pred"),
-    ).filter(
-        (F.col("n_words") >= min_words)
-        & (F.col("punct_ratio") <= max_punct_ratio)
-    )
-    if lang is not None:
-        base = base.filter(F.col("lang_pred") == lang)
+    # the min-words + language gate is ONE single-evaluation expression
+    # (words_gate — the previous select+filter shape re-ran the
+    # tokenization ~7x per row, measured 9.1 executor-seconds at sf0.1
+    # for the gate stage); punct_ratio is a single-consumer conjunct, so
+    # it needs no binding trick, and n_words is recomputed only for
+    # gate survivors (one extra tokenization per KEPT row)
+    f = quality_features(c)
+    base = documents.filter(
+        words_gate(c, min_words, lang)
+        & (f["punct_ratio"] <= max_punct_ratio)
+    ).select("doc_id", "text", F.size(words_of(c)).alias("n_words"))
     keyed = base.withColumn("_th", F.xxhash64(_dedup.normalize_text(c)))
     # keep-min-doc_id per text hash as ONE partitioned window instead of
     # a groupBy + semi-join back: same semantics, one exchange and no
