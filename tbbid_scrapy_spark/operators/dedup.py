@@ -83,7 +83,7 @@ _WIDE_PLAN_NODES = ("Join ", "Aggregate [", "Window [", "Sort [",
                     "Repartition ", "RebalancePartitions")
 
 
-def _spread(documents: DataFrame) -> DataFrame:
+def _spread(documents: DataFrame, n: int | None = None) -> DataFrame:
     """Parallelize the O(text-length) shingle work when the input arrives
     in fewer partitions than the session can use — typical for small
     parquet files, where one 128 MB-split task would single-thread a
@@ -115,9 +115,14 @@ def _spread(documents: DataFrame) -> DataFrame:
     monotonically_increasing_id() ≥ 0 is always true, so semantics are
     unchanged at ~zero per-row cost. Applied only on the narrow-input
     branch — a wide (100 TB) scan passes through untouched and keeps
-    full predicate pushdown."""
+    full predicate pushdown.
+
+    ``n``: the input's partition count when the caller already knows it
+    (e.g. probed once and reused across queries over the same scan —
+    the probe costs a ~40 ms .rdd round-trip per call); None probes."""
     target = documents.sparkSession.sparkContext.defaultParallelism
-    n = safe_num_partitions(documents)
+    if n is None:
+        n = safe_num_partitions(documents)
     if n is not None and n * 2 <= target:
         return documents.repartition(target).filter(
             F.monotonically_increasing_id() >= 0

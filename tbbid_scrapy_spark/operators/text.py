@@ -351,7 +351,7 @@ def corpus_keep(documents: DataFrame, min_words: int = 20,
     # survivors re-spread below (probing the derived survivors plan
     # directly would finalize + execute it, see safe_num_partitions)
     n_in = _dedup.safe_num_partitions(documents)
-    documents = _dedup._spread(documents)
+    documents = _dedup._spread(documents, n=n_in)
     # the min-words + language gate is ONE single-evaluation expression
     # (words_gate — the previous select+filter shape re-ran the
     # tokenization ~7x per row, measured 9.1 executor-seconds at sf0.1
