@@ -32,20 +32,17 @@ from tbbid_scrapy_spark import stagemetrics
 
 cpus = int(sys.argv[1])
 mode = sys.argv[2]
-# Pin the initial heap to the max (-Xms == spark.driver.memory): without
-# it the lo and hi legs of a pair sit in DIFFERENT heap-growth/GC phases
-# (the JVM starts at a small committed heap and the 8M-URL wave triggers
-# repeated expansion + full-GC cycles whose count depends on allocation
-# rate, i.e. on the core count), which is intrinsic per-leg wall variance
-# the r5 verdict measured at 60-85 s on the hi leg with no neighbor load.
-# Run conditions only — identical for both levels, the timed job and the
-# gate estimator are byte-unchanged. (-Xmx itself must stay under
-# spark.driver.memory per Spark's extraJavaOptions contract; -Xms is
-# explicitly allowed.) Declared in BASELINE.md before recording.
-heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+# NO heap pinning (-Xms == -Xmx was hypothesized to cut per-leg wall
+# variance, MEASURED round 6, REFUTED, reverted — see BASELINE.md
+# "Round-6 scaling variance experiment"): pinning 24g INCREASED GC time
+# (1.3-7.5 s/wave vs 0.6-1.2 s unpinned — a pinned heap grows a huge G1
+# young generation, trading many cheap pauses for few long ones), wall
+# spikes persisted in both conditions within a single warm JVM, and the
+# spikes correlate with /proc/stat CPU-steal epochs (host-side
+# interference), which no guest-side JVM flag removes. The per-pair
+# median estimator remains the defense against those epochs.
 spark = get_spark(app_name=f"scale{{cpus}}", cpus=cpus, shuffle_partitions=cpus,
-                  extra_conf={{"spark.ui.enabled": "true", "spark.ui.port": "0",
-                              "spark.driver.extraJavaOptions": f"-Xms{{heap}}"}})
+                  extra_conf={{"spark.ui.enabled": "true", "spark.ui.port": "0"}})
 
 if mode == "frontier":
     import bench
