@@ -23,6 +23,7 @@ derive their probe positions from this single hash — no Python hashing).
 
 from __future__ import annotations
 
+import functools as _functools
 from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit, urlunsplit
 
 import pandas as pd
@@ -186,31 +187,27 @@ def canonicalize_url_jvm(url: Column) -> Column:
     )
 
 
-def with_canonical_jvm(df: DataFrame, url_col: str,
-                       out_col: str = "url_norm") -> DataFrame:
-    """Frame-level Catalyst canonicalizer — the same expressions as
-    ``canonicalize_url_jvm`` STAGED over intermediate columns, so each
-    shared component (the fragment-stripped url, the four parse_url
-    results, the split query pair) is evaluated once per row instead of
-    once per reference: a Column-level expression tree copies its
-    subtree at every reference (the '#'-stripped ``u`` feeds 4 parse_url
-    calls plus the netloc/path/query logic, and each query pair ran
-    ``split(p, '=', 2)`` twice), while an attribute reference in a later
-    projection is free. CollapseProject keeps the stages separate
-    because the produced attributes are non-cheap and multiply
-    consumed — the same mechanism as dedup._with_tokens. Measured on the
-    2M-URL wave input: 1.74 s → 0.57 s for the canonical projection.
-    Byte-identical output to ``canonicalize_url_jvm`` (identical
-    expressions, only factored); valid ONLY where is_plain_url holds."""
+@_functools.lru_cache(maxsize=None)
+def _canonical_jvm_cols(url_col: str) -> tuple:
+    """The staged canonicalizer's Column objects, built ONCE per input
+    column name and reused across calls. Columns are immutable
+    unresolved expression trees keyed only by attribute NAMES, so the
+    same objects attach to any DataFrame that has ``url_col`` — and the
+    Column-by-Column construction below costs ~1,300 py4j round-trips
+    (~0.3 s driver-side, measured with cProfile), which the crawl loop
+    paid EVERY wave inside its per-wave wall and every query build paid
+    inside its timed region (guide §1.2 step 2 — the same fixed-cost
+    class as the F.expr single-parse trees and the lru_cached pandas-UDF
+    factories in dedup/similarity). Returns (u, stage1, stage2, norm);
+    the caller's withColumn/withColumns sequence is unchanged, so the
+    resulting plan is byte-identical to the uncached construction."""
     u = F.substring_index(F.trim(F.col(url_col)), "#", 1)
-    staged = df.withColumn("_cu", u).withColumns(
-        {
-            "_scheme": F.lower(F.parse_url(F.col("_cu"), F.lit("PROTOCOL"))),
-            "_auth": F.parse_url(F.col("_cu"), F.lit("AUTHORITY")),
-            "_path": F.coalesce(F.parse_url(F.col("_cu"), F.lit("PATH")), F.lit("")),
-            "_qraw": F.coalesce(F.parse_url(F.col("_cu"), F.lit("QUERY")), F.lit("")),
-        }
-    )
+    stage1 = {
+        "_scheme": F.lower(F.parse_url(F.col("_cu"), F.lit("PROTOCOL"))),
+        "_auth": F.parse_url(F.col("_cu"), F.lit("AUTHORITY")),
+        "_path": F.coalesce(F.parse_url(F.col("_cu"), F.lit("PATH")), F.lit("")),
+        "_qraw": F.coalesce(F.parse_url(F.col("_cu"), F.lit("QUERY")), F.lit("")),
+    }
     busters = F.array(*[F.lit(k) for k in sorted(CACHE_BUSTER_KEYS)])
     # split each pair ONCE (the Column form split twice per pair, once
     # per F.get); keep value RAW until after the sort — see
@@ -231,16 +228,14 @@ def with_canonical_jvm(df: DataFrame, url_col: str,
             lambda s: ~F.array_contains(busters, s["k"]),
         )
     )
-    staged = staged.withColumns(
-        {
-            "_host": F.lower(F.substring_index(F.col("_auth"), ":", 1)),
-            "_port": F.when(
-                F.instr(F.col("_auth"), ":") > 0,
-                F.substring_index(F.col("_auth"), ":", -1),
-            ).otherwise(F.lit("")),
-            "_kv": kv,
-        }
-    )
+    stage2 = {
+        "_host": F.lower(F.substring_index(F.col("_auth"), ":", 1)),
+        "_port": F.when(
+            F.instr(F.col("_auth"), ":") > 0,
+            F.substring_index(F.col("_auth"), ":", -1),
+        ).otherwise(F.lit("")),
+        "_kv": kv,
+    }
     default_port = (
         F.when(F.col("_scheme") == "http", F.lit("80"))
         .when(F.col("_scheme") == "https", F.lit("443"))
@@ -267,8 +262,35 @@ def with_canonical_jvm(df: DataFrame, url_col: str,
         path,
         F.when(qout == "", F.lit("")).otherwise(F.concat(F.lit("?"), qout)),
     )
-    return staged.withColumn(out_col, norm).drop(
-        "_cu", "_scheme", "_auth", "_path", "_qraw", "_host", "_port", "_kv"
+    return u, stage1, stage2, norm
+
+
+def with_canonical_jvm(df: DataFrame, url_col: str,
+                       out_col: str = "url_norm") -> DataFrame:
+    """Frame-level Catalyst canonicalizer — the same expressions as
+    ``canonicalize_url_jvm`` STAGED over intermediate columns, so each
+    shared component (the fragment-stripped url, the four parse_url
+    results, the split query pair) is evaluated once per row instead of
+    once per reference: a Column-level expression tree copies its
+    subtree at every reference (the '#'-stripped ``u`` feeds 4 parse_url
+    calls plus the netloc/path/query logic, and each query pair ran
+    ``split(p, '=', 2)`` twice), while an attribute reference in a later
+    projection is free. CollapseProject keeps the stages separate
+    because the produced attributes are non-cheap and multiply
+    consumed — the same mechanism as dedup._with_tokens. Measured on the
+    2M-URL wave input: 1.74 s → 0.57 s for the canonical projection.
+    Byte-identical output to ``canonicalize_url_jvm`` (identical
+    expressions, only factored); valid ONLY where is_plain_url holds.
+    The Column trees come from ``_canonical_jvm_cols`` (built once per
+    column name, cached — construction itself was 0.3 s of py4j
+    round-trips per call, inside every crawl wave)."""
+    u, stage1, stage2, norm = _canonical_jvm_cols(url_col)
+    return (
+        df.withColumn("_cu", u)
+        .withColumns(stage1)
+        .withColumns(stage2)
+        .withColumn(out_col, norm)
+        .drop("_cu", "_scheme", "_auth", "_path", "_qraw", "_host", "_port", "_kv")
     )
 
 
@@ -293,6 +315,25 @@ def host_col(url_norm: Column) -> Column:
     return F.lower(F.parse_url(url_norm, F.lit("HOST")))
 
 
+@_functools.lru_cache(maxsize=None)
+def _url_norm_cols(url_col: str, base_col: str | None) -> tuple:
+    """with_url_norm's reusable Column objects (plain-URL predicate, the
+    two Arrow-UDF call columns, url_hash, host), built once per
+    (url_col, base_col) — each is a handful of py4j round-trips that the
+    crawl loop otherwise re-paid every wave (see _canonical_jvm_cols)."""
+    plain = F.coalesce(is_plain_url(F.col(url_col)), F.lit(False))
+    if base_col:
+        slow_norm = resolve_and_canonicalize_pd(F.col(url_col), F.col(base_col))
+    else:
+        slow_norm = canonicalize_url_pd(F.col(url_col))
+    return (
+        plain,
+        slow_norm,
+        url_hash_col(F.col("url_norm")),
+        host_col(F.col("url_norm")),
+    )
+
+
 def with_url_norm(df: DataFrame, url_col: str = "url", base_col: str | None = None,
                   mode: str = "hybrid") -> DataFrame:
     """Attach url_norm / url_hash / host to a DataFrame of raw URLs.
@@ -310,25 +351,17 @@ def with_url_norm(df: DataFrame, url_col: str = "url", base_col: str | None = No
     picks per wave off its pending estimate).
 
     mode='python': the Arrow UDF for every row — one branch, no union."""
+    plain, slow_norm, hash_c, host_c = _url_norm_cols(url_col, base_col)
     if mode == "hybrid":
-        plain = F.coalesce(is_plain_url(F.col(url_col)), F.lit(False))
         # staged frame-level canonicalizer: byte-identical to
         # canonicalize_url_jvm, ~3× cheaper (shared components evaluated
         # once per row — see with_canonical_jvm)
         fast = with_canonical_jvm(df.filter(plain), url_col)
-        if base_col:
-            slow_norm = resolve_and_canonicalize_pd(F.col(url_col), F.col(base_col))
-        else:
-            slow_norm = canonicalize_url_pd(F.col(url_col))
         slow = df.filter(~plain).withColumn("url_norm", slow_norm)
         out = fast.unionByName(slow)
     else:
-        if base_col:
-            norm = resolve_and_canonicalize_pd(F.col(url_col), F.col(base_col))
-        else:
-            norm = canonicalize_url_pd(F.col(url_col))
-        out = df.withColumn("url_norm", norm)
+        out = df.withColumn("url_norm", slow_norm)
     return (
-        out.withColumn("url_hash", url_hash_col(F.col("url_norm")))
-        .withColumn("host", host_col(F.col("url_norm")))
+        out.withColumn("url_hash", hash_c)
+        .withColumn("host", host_c)
     )

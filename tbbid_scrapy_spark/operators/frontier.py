@@ -18,8 +18,24 @@ SURVEY.md §2.11) onto declarative DataFrame ops:
 
 from __future__ import annotations
 
+import functools as _functools
+import weakref as _weakref
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Derived-frame caches keyed WEAKLY on the input DataFrame object: the
+# robots/politeness tables are fixed per crawl engine, but every wave
+# re-built the same per-host aggregation plan Column by Column — ~100
+# py4j round-trips of pure driver latency per call inside the per-wave
+# wall (guide §1.2 step 2; measured with cProfile: apply_robots_joined
+# 68 ms/call, the whole children-pipeline construction ~0.9 s/wave).
+# DataFrames are immutable, so reusing the derived frame is semantically
+# identical to rebuilding it — same logical plan, and Spark's exchange
+# reuse can now also recognize repeats. WeakKey so a dropped input frame
+# releases its cache entry with it.
+_ROBOTS_PER_HOST: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+_POLITENESS_BUDGETS: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def dedup_exact(candidates: DataFrame, seen: DataFrame,
@@ -54,27 +70,40 @@ def apply_robots_joined(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     expression variant was removed: Spark evaluates map literals by
     LINEAR scan per lookup — at ~1000 rules that is ~4000 string
     compares per row; the broadcast join stays O(1) — and it had no
-    callers.)"""
-    per_host = robots.groupBy("host").agg(
-        F.reverse(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.length("path_prefix").alias("len"),
-                        F.col("path_prefix").alias("prefix"),
-                        F.col("allow").alias("allow"),
+    callers.)
+
+    The per-host aggregation (keyed weakly on the rules frame — fixed
+    per engine, rebuilt every wave before) and the constant allow
+    expression are cached; the join itself is per-call."""
+    per_host = _ROBOTS_PER_HOST.get(robots)
+    if per_host is None:
+        per_host = robots.groupBy("host").agg(
+            F.reverse(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.length("path_prefix").alias("len"),
+                            F.col("path_prefix").alias("prefix"),
+                            F.col("allow").alias("allow"),
+                        )
                     )
                 )
-            )
-        ).alias("_rules")
-    )
+            ).alias("_rules")
+        )
+        _ROBOTS_PER_HOST[robots] = per_host
     joined = frontier.join(F.broadcast(per_host), "host", "left")
+    return joined.filter(_robots_allow_col()).drop("_rules")
+
+
+@_functools.lru_cache(maxsize=1)
+def _robots_allow_col():
+    """The longest-prefix-wins allow predicate over the joined `_rules`
+    array — constant expression, built once (see module-cache note)."""
     path = F.parse_url(F.col("url_norm"), F.lit("PATH"))
     matched = F.filter(F.col("_rules"), lambda r: path.startswith(r["prefix"]))
-    allow = F.when(
+    return F.when(
         F.col("_rules").isNull() | (F.size(matched) == 0), F.lit(True)
     ).otherwise(F.element_at(matched, 1)["allow"])
-    return joined.filter(allow).drop("_rules")
 
 
 def politeness_rank(pending: DataFrame, politeness: DataFrame,
@@ -112,9 +141,12 @@ def politeness_rank(pending: DataFrame, politeness: DataFrame,
     # hosts the optimizer broadcasts them anyway (fixture plans pinned in
     # test_plan_quality), and at extreme host cardinality it degrades to
     # a shuffle join on `host` instead of OOMing the driver.
-    budgets = politeness.groupBy("host").agg(
-        F.min("budget_per_wave").alias("budget_per_wave")
-    )
+    budgets = _POLITENESS_BUDGETS.get(politeness)
+    if budgets is None:
+        budgets = politeness.groupBy("host").agg(
+            F.min("budget_per_wave").alias("budget_per_wave")
+        )
+        _POLITENESS_BUDGETS[politeness] = budgets
     with_budget = pending.join(budgets, on="host", how="left").withColumn(
         "_budget", F.coalesce(F.col("budget_per_wave"), F.lit(default_budget))
     ).drop("budget_per_wave")
@@ -127,23 +159,33 @@ def politeness_rank(pending: DataFrame, politeness: DataFrame,
     )
     over = with_counts.filter(F.col("_pending") > F.col("_budget"))
 
-    order = [F.col("priority").desc(), F.col("wave"), F.col("seq"), F.col("url_hash")]
-    salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets))
-    local_w = Window.partitionBy("host", "_salt").orderBy(*order)
+    salt, local_rank, global_rank = _rank_cols(salt_buckets)
     local_top = (
         over.withColumn("_salt", salt)
         .repartition("host", "_salt")
-        .withColumn("_lr", F.row_number().over(local_w))
+        .withColumn("_lr", local_rank)
         .filter(F.col("_lr") <= F.col("_budget"))
         .drop("_lr")
     )
-    global_w = Window.partitionBy("host").orderBy(*order)
     selected_over = (
-        local_top.withColumn("_gr", F.row_number().over(global_w))
+        local_top.withColumn("_gr", global_rank)
         .filter(F.col("_gr") <= F.col("_budget"))
         .drop("_gr", "_salt", "_budget", "_pending")
     )
     return under.unionByName(selected_over)
+
+
+@_functools.lru_cache(maxsize=None)
+def _rank_cols(salt_buckets: int):
+    """politeness_rank's constant (salt, local row_number, global
+    row_number) Columns per salt width — the order list and the two
+    window specs reference fixed column names only, so the trees build
+    once instead of every wave (see module-cache note)."""
+    order = [F.col("priority").desc(), F.col("wave"), F.col("seq"), F.col("url_hash")]
+    salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets))
+    local_w = Window.partitionBy("host", "_salt").orderBy(*order)
+    global_w = Window.partitionBy("host").orderBy(*order)
+    return salt, F.row_number().over(local_w), F.row_number().over(global_w)
 
 
 def salted_repartition(df: DataFrame, n_partitions: int, salt_buckets: int = 64,

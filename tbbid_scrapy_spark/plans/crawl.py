@@ -35,6 +35,7 @@ of frontier size, and every job is shuffle-parallel.
 
 from __future__ import annotations
 
+import functools as _functools
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -91,6 +92,11 @@ def retry_settle_exprs(
     the oracle hardcodes the reference's retry policy, so a drift in
     RETRYABLE / MAX_ATTEMPTS here breaks the rows+schema+hash match.
     """
+    if status is None and attempts is None:
+        # the per-wave call site — the same two constant Columns every
+        # wave, cached (Columns are immutable; construction is ~40 ms of
+        # py4j round-trips otherwise re-paid per wave, guide §1.2 step 2)
+        return _retry_settle_default()
     status = F.col("status") if status is None else status
     attempts = F.col("attempts") if attempts is None else attempts
     state = (
@@ -108,6 +114,11 @@ def retry_settle_exprs(
         status.isin(RETRYABLE), attempts + 1
     ).otherwise(attempts)
     return state, attempts_after
+
+
+@_functools.lru_cache(maxsize=1)
+def _retry_settle_default() -> tuple["F.Column", "F.Column"]:
+    return retry_settle_exprs(F.col("status"), F.col("attempts"))
 
 FETCH_LOG_SCHEMA = T.StructType(
     [
@@ -191,8 +202,17 @@ class CrawlConfig:
     hybrid_canon_min_rows: int = 100_000
 
 
+@_functools.lru_cache(maxsize=None)
+def _kind_expr_named(col_name: str):
+    return _kind_expr(F.col(col_name))
+
+
 def _kind_expr(url_norm):
-    """URL → page kind, mirroring fixtures.simulator.kind_of_url."""
+    """URL → page kind, mirroring fixtures.simulator.kind_of_url.
+    Pass a column NAME to reuse the cached constant tree (~50 ms of
+    py4j round-trips per construction, previously re-paid every wave)."""
+    if isinstance(url_norm, str):
+        return _kind_expr_named(url_norm)
     path = F.parse_url(url_norm, F.lit("PATH"))
     expr = F.lit("other")
     for kind, marker in [
@@ -212,7 +232,14 @@ def _kind_expr(url_norm):
     return expr
 
 
+@_functools.lru_cache(maxsize=None)
+def _priority_expr_named(col_name: str):
+    return _priority_expr(F.col(col_name))
+
+
 def _priority_expr(kind_col):
+    if isinstance(kind_col, str):
+        return _priority_expr_named(kind_col)
     expr = F.lit(0)
     for kind, pri in PRIORITY_BY_KIND.items():
         expr = F.when(kind_col == kind, F.lit(pri)).otherwise(expr)
@@ -364,7 +391,7 @@ class CrawlEngine:
         f0, n_seeds, _h0 = dense_index(
             seeds_norm, [F.col("_ord")], "seq", 0, self._sized_parts(len(self.seeds))
         )
-        f0 = f0.withColumn("page_kind", _kind_expr(F.col("url_norm"))).select(
+        f0 = f0.withColumn("page_kind", _kind_expr("url_norm")).select(
             "url",
             "url_norm",
             "url_hash",
@@ -372,7 +399,7 @@ class CrawlEngine:
             "page_kind",
             F.lit(None).cast("string").alias("parent_id"),
             F.lit(0).alias("depth"),
-            _priority_expr(F.col("page_kind")).alias("priority"),
+            _priority_expr("page_kind").alias("priority"),
             F.lit(0).alias("wave"),
             F.lit("pending").alias("state"),
             F.lit(0).alias("attempts"),
@@ -955,7 +982,7 @@ class CrawlEngine:
                     "shard_id", "bitset", "n_inserted"
                 )
 
-        f_add = children.withColumn("page_kind", _kind_expr(F.col("url_norm"))).select(
+        f_add = children.withColumn("page_kind", _kind_expr("url_norm")).select(
             F.col("child_url").alias("url"),
             "url_norm",
             "url_hash",
@@ -963,7 +990,7 @@ class CrawlEngine:
             "page_kind",
             F.col("parent").alias("parent_id"),
             (F.col("parent_depth") + 1).alias("depth"),
-            _priority_expr(F.col("page_kind")).alias("priority"),
+            _priority_expr("page_kind").alias("priority"),
             F.lit(w + 1).alias("wave"),
             F.lit("pending").alias("state"),
             F.lit(0).alias("attempts"),
