@@ -236,6 +236,11 @@ def _canonical_jvm_cols(url_col: str) -> tuple:
         ).otherwise(F.lit("")),
         "_kv": kv,
     }
+    # returned as immutable item-tuples: the cache hands the same objects
+    # to every caller process-wide, and a shared mutable dict would let
+    # one caller's edit silently corrupt every later canonicalization
+    stage1 = tuple(stage1.items())
+    stage2 = tuple(stage2.items())
     default_port = (
         F.when(F.col("_scheme") == "http", F.lit("80"))
         .when(F.col("_scheme") == "https", F.lit("443"))
@@ -287,8 +292,8 @@ def with_canonical_jvm(df: DataFrame, url_col: str,
     u, stage1, stage2, norm = _canonical_jvm_cols(url_col)
     return (
         df.withColumn("_cu", u)
-        .withColumns(stage1)
-        .withColumns(stage2)
+        .withColumns(dict(stage1))
+        .withColumns(dict(stage2))
         .withColumn(out_col, norm)
         .drop("_cu", "_scheme", "_auth", "_path", "_qraw", "_host", "_port", "_kv")
     )

@@ -203,16 +203,12 @@ class CrawlConfig:
 
 
 @_functools.lru_cache(maxsize=None)
-def _kind_expr_named(col_name: str):
-    return _kind_expr(F.col(col_name))
-
-
-def _kind_expr(url_norm):
-    """URL → page kind, mirroring fixtures.simulator.kind_of_url.
-    Pass a column NAME to reuse the cached constant tree (~50 ms of
-    py4j round-trips per construction, previously re-paid every wave)."""
-    if isinstance(url_norm, str):
-        return _kind_expr_named(url_norm)
+def _kind_expr(col_name: str):
+    """URL → page kind over the named column, mirroring
+    fixtures.simulator.kind_of_url. lru_cached by column name: the
+    constant tree cost ~50 ms of py4j round-trips per construction,
+    previously re-paid every wave."""
+    url_norm = F.col(col_name)
     path = F.parse_url(url_norm, F.lit("PATH"))
     expr = F.lit("other")
     for kind, marker in [
@@ -233,13 +229,8 @@ def _kind_expr(url_norm):
 
 
 @_functools.lru_cache(maxsize=None)
-def _priority_expr_named(col_name: str):
-    return _priority_expr(F.col(col_name))
-
-
-def _priority_expr(kind_col):
-    if isinstance(kind_col, str):
-        return _priority_expr_named(kind_col)
+def _priority_expr(col_name: str):
+    kind_col = F.col(col_name)
     expr = F.lit(0)
     for kind, pri in PRIORITY_BY_KIND.items():
         expr = F.when(kind_col == kind, F.lit(pri)).otherwise(expr)
